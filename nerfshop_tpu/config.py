@@ -1,0 +1,189 @@
+"""JSON network-config tree.
+
+Feature parity with the reference config system
+(src/testbed.cu:152-210 ``load_network_config``):
+
+* ``//``-comment-tolerant JSON (the reference uses nlohmann-json with
+  comments stripped; configs/image/base.json contains ``//`` lines),
+* ``"parent": "other.json"`` inheritance — child keys override parent keys,
+  resolved relative to the child file,
+* dict merging is recursive for nested objects.
+
+Configs are plain nested dicts wrapped in :class:`ConfigDict` for attribute
+access; they stay pure-Python (never traced by JAX).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import re
+from pathlib import Path
+from typing import Any, Mapping
+
+_COMMENT_RE = re.compile(r'("(?:\\.|[^"\\])*")|//[^\n]*')
+
+
+def _strip_json_comments(text: str) -> str:
+    """Remove ``//`` line comments outside of string literals."""
+    return _COMMENT_RE.sub(lambda m: m.group(1) or "", text)
+
+
+def loads_tolerant(text: str) -> Any:
+    return json.loads(_strip_json_comments(text))
+
+
+def _deep_merge(base: dict, override: Mapping) -> dict:
+    out = copy.deepcopy(base)
+    for k, v in override.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, Mapping):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+class ConfigDict(dict):
+    """dict with attribute access and safe ``.get``-style defaults."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            v = self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+        return ConfigDict(v) if isinstance(v, dict) and not isinstance(v, ConfigDict) else v
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def get_path(self, path: str, default: Any = None) -> Any:
+        """``cfg.get_path("optimizer.nested.learning_rate", 1e-2)``."""
+        node: Any = self
+        for part in path.split("."):
+            if not isinstance(node, Mapping) or part not in node:
+                return default
+            node = node[part]
+        return node
+
+
+def load_network_config(path: str | Path) -> ConfigDict:
+    """Load a network config file, resolving ``parent`` inheritance chains."""
+    path = Path(path)
+    data = loads_tolerant(path.read_text())
+    if not isinstance(data, dict):
+        raise ValueError(f"network config {path} must be a JSON object")
+    seen = {path.resolve()}
+    while "parent" in data:
+        parent_path = (path.parent / data.pop("parent")).resolve()
+        if parent_path in seen:
+            raise ValueError(f"config parent cycle at {parent_path}")
+        seen.add(parent_path)
+        parent = loads_tolerant(parent_path.read_text())
+        data = _deep_merge(parent, data)
+        path = parent_path
+    return ConfigDict(data)
+
+
+def default_nerf_config() -> ConfigDict:
+    """The built-in NeRF config (semantics of configs/nerf/base.json)."""
+    return ConfigDict(
+        {
+            "loss": {"otype": "Huber"},
+            "optimizer": {
+                "otype": "Ema",
+                "decay": 0.95,
+                "nested": {
+                    "otype": "ExponentialDecay",
+                    "decay_start": 20000,
+                    "decay_interval": 10000,
+                    "decay_base": 0.33,
+                    "nested": {
+                        "otype": "Adam",
+                        "learning_rate": 1e-2,
+                        "beta1": 0.9,
+                        "beta2": 0.99,
+                        "epsilon": 1e-15,
+                        "l2_reg": 1e-6,
+                    },
+                },
+            },
+            "encoding": {
+                "otype": "HashGrid",
+                "n_levels": 16,
+                "n_features_per_level": 2,
+                "log2_hashmap_size": 19,
+                "base_resolution": 16,
+            },
+            "network": {
+                "otype": "FullyFusedMLP",
+                "activation": "ReLU",
+                "output_activation": "None",
+                "n_neurons": 64,
+                "n_hidden_layers": 1,
+            },
+            "dir_encoding": {
+                "otype": "Composite",
+                "nested": [
+                    {"n_dims_to_encode": 3, "otype": "SphericalHarmonics", "degree": 4},
+                    {"otype": "Identity"},
+                ],
+            },
+            "rgb_network": {
+                "otype": "FullyFusedMLP",
+                "activation": "ReLU",
+                "output_activation": "None",
+                "n_neurons": 64,
+                "n_hidden_layers": 2,
+            },
+        }
+    )
+
+
+def default_image_config() -> ConfigDict:
+    return ConfigDict(
+        {
+            "loss": {"otype": "L2"},
+            "optimizer": {
+                "otype": "ExponentialDecay",
+                "decay_start": 20000,
+                "decay_interval": 10000,
+                "decay_base": 0.33,
+                "nested": {
+                    "otype": "Adam",
+                    "learning_rate": 1e-2,
+                    "beta1": 0.9,
+                    "beta2": 0.99,
+                    "epsilon": 1e-15,
+                    "l2_reg": 1e-6,
+                },
+            },
+            "encoding": {
+                "otype": "HashGrid",
+                "n_levels": 16,
+                "n_features_per_level": 2,
+                "log2_hashmap_size": 24,
+                "base_resolution": 16,
+            },
+            "network": {
+                "otype": "FullyFusedMLP",
+                "activation": "ReLU",
+                "output_activation": "None",
+                "n_neurons": 64,
+                "n_hidden_layers": 2,
+            },
+        }
+    )
+
+
+def default_sdf_config() -> ConfigDict:
+    cfg = default_image_config()
+    cfg["loss"] = {"otype": "Mape"}
+    cfg["encoding"]["log2_hashmap_size"] = 19
+    return cfg
+
+
+def default_volume_config() -> ConfigDict:
+    cfg = default_image_config()
+    cfg["loss"] = {"otype": "L2"}
+    cfg["encoding"]["log2_hashmap_size"] = 19
+    return cfg

@@ -1,0 +1,342 @@
+"""Input encodings (TPU-native re-implementation of the tcnn encoding zoo).
+
+The reference consumes tcnn encodings selected by JSON ``otype``
+(src/testbed.cu:2258-2302): HashGrid / DenseGrid / SphericalHarmonics /
+Frequency / OneBlob / TriangleWave / Identity / Composite. We re-implement
+the same math as vectorized JAX (gathers + VPU elementwise); the hash-grid
+hot path additionally has a Pallas kernel (ops/hashgrid_pallas.py) that the
+functional API dispatches to on TPU.
+
+Numerical conventions follow tcnn's grid encoding exactly so that
+convergence behavior matches:
+
+* per-level scale: ``scale_l = 2^(l·log2(b)) · N_min − 1``,
+  ``res_l = ceil(scale_l) + 1``
+* sample coordinate: ``p = x·scale_l + 0.5`` (cell-centered)
+* dense indexing when ``res_l³ ≤ T``; else spatial hash
+  ``(x · 1) ⊕ (y · 2654435761) ⊕ (z · 805459861) mod T``
+* trilinear interpolation of F features per level; init U(−1e−4, 1e−4).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HASH_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+
+
+class Encoding:
+    """Stateless encoding: params pytree via init(), pure apply()."""
+
+    n_input_dims: int
+    n_output_dims: int
+
+    def init(self, rng: jax.Array):
+        return ()
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# Grid encodings (HashGrid / DenseGrid / TiledGrid)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GridEncoding(Encoding):
+    n_input_dims: int = 3
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    per_level_scale: float = 2.0
+    hash_type: str = "hash"  # "hash" (HashGrid) or "dense" (DenseGrid)
+    interpolation: str = "linear"
+
+    def __post_init__(self):
+        assert self.n_input_dims in (2, 3), "grid encoding supports 2D/3D"
+        T = 1 << self.log2_hashmap_size
+        self.level_scales: List[float] = []
+        self.level_res: List[int] = []
+        self.level_sizes: List[int] = []
+        self.level_dense: List[bool] = []
+        self.level_offsets: List[int] = [0]
+        for l in range(self.n_levels):
+            scale = 2.0 ** (l * math.log2(self.per_level_scale)) * self.base_resolution - 1.0
+            res = int(math.ceil(scale)) + 1
+            dense_size = res**self.n_input_dims
+            if self.hash_type == "dense":
+                size = dense_size
+                dense = True
+            else:
+                # align to 8 like tcnn, cap at hashmap size
+                size = min(T, -(-dense_size // 8) * 8)
+                dense = dense_size <= T
+            self.level_scales.append(scale)
+            self.level_res.append(res)
+            self.level_sizes.append(size)
+            self.level_dense.append(dense)
+            self.level_offsets.append(self.level_offsets[-1] + size)
+        self.table_size = self.level_offsets[-1]
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    def init(self, rng: jax.Array):
+        return {
+            "table": jax.random.uniform(
+                rng,
+                (self.table_size, self.n_features_per_level),
+                jnp.float32,
+                -1e-4,
+                1e-4,
+            )
+        }
+
+    def _corner_indices(self, x: jnp.ndarray):
+        """x: [N, D] in [0,1] → (global gather indices [N, L, 2^D],
+        trilinear weights [N, L, 2^D])."""
+        D = self.n_input_dims
+        N = x.shape[0]
+        L = self.n_levels
+        scales = jnp.asarray(self.level_scales, x.dtype)  # [L]
+        p = x[:, None, :] * scales[None, :, None] + 0.5  # [N, L, D]
+        p0 = jnp.floor(p)
+        frac = p - p0
+        p0 = p0.astype(jnp.int32)
+
+        n_corners = 1 << D
+        offs = np.stack(
+            [[(c >> d) & 1 for d in range(D)] for c in range(n_corners)]
+        ).astype(np.int32)  # [2^D, D]
+        corner = p0[:, :, None, :] + jnp.asarray(offs)[None, None]  # [N, L, 2^D, D]
+
+        w = jnp.where(
+            jnp.asarray(offs)[None, None] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :]
+        ).prod(-1)  # [N, L, 2^D]
+
+        res = jnp.asarray(self.level_res, jnp.int32)  # [L]
+        corner = jnp.clip(corner, 0, res[None, :, None, None] - 1)
+        cu = corner.astype(jnp.uint32)
+
+        # dense index: x + y*res + z*res² ; hash index: xor of prime products
+        res_u = res.astype(jnp.uint32)[None, :, None]
+        if D == 3:
+            dense_idx = cu[..., 0] + res_u * (cu[..., 1] + res_u * cu[..., 2])
+        else:
+            dense_idx = cu[..., 0] + res_u * cu[..., 1]
+        hashed = cu[..., 0]
+        for d in range(1, D):
+            hashed = hashed ^ (cu[..., d] * jnp.uint32(_HASH_PRIMES[d]))
+        sizes = jnp.asarray(self.level_sizes, jnp.uint32)[None, :, None]
+        hash_idx = hashed % sizes
+        use_dense = jnp.asarray(self.level_dense, jnp.bool_)[None, :, None]
+        local = jnp.where(use_dense, dense_idx % sizes, hash_idx)
+        global_idx = local.astype(jnp.int32) + jnp.asarray(self.level_offsets[:-1], jnp.int32)[None, :, None]
+        return global_idx, w
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [N, D] in [0,1] → [N, L·F]."""
+        idx, w = self._corner_indices(x)  # [N, L, C], [N, L, C]
+        feats = jnp.take(params["table"], idx, axis=0)  # [N, L, C, F]
+        out = jnp.einsum("nlc,nlcf->nlf", w.astype(feats.dtype), feats)
+        return out.reshape(x.shape[0], self.n_output_dims)
+
+
+# ---------------------------------------------------------------------------
+# Spherical harmonics (degree ≤ 4, matching tcnn's polynomial expansion)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SphericalHarmonicsEncoding(Encoding):
+    """Input in [0,1]³ (warped direction); output degree² coefficients."""
+
+    n_input_dims: int = 3
+    degree: int = 4
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.degree**2
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        d = x * 2.0 - 1.0
+        xx, yy, zz = d[..., 0], d[..., 1], d[..., 2]
+        x2, y2, z2 = xx * xx, yy * yy, zz * zz
+        out = [jnp.full_like(xx, 0.28209479177387814)]  # l=0
+        if self.degree >= 2:
+            out += [
+                -0.48860251190291987 * yy,
+                0.48860251190291987 * zz,
+                -0.48860251190291987 * xx,
+            ]
+        if self.degree >= 3:
+            xy, yz, xz = xx * yy, yy * zz, xx * zz
+            out += [
+                1.0925484305920792 * xy,
+                -1.0925484305920792 * yz,
+                0.94617469575755997 * z2 - 0.31539156525251999,
+                -1.0925484305920792 * xz,
+                0.54627421529603959 * (x2 - y2),
+            ]
+        if self.degree >= 4:
+            out += [
+                0.59004358992664352 * yy * (-3.0 * x2 + y2),
+                2.8906114426405538 * xx * yy * zz,
+                0.45704579946446572 * yy * (1.0 - 5.0 * z2),
+                0.3731763325901154 * zz * (5.0 * z2 - 3.0),
+                0.45704579946446572 * xx * (1.0 - 5.0 * z2),
+                1.4453057213202769 * zz * (x2 - y2),
+                0.59004358992664352 * xx * (-x2 + 3.0 * y2),
+            ]
+        if self.degree >= 5:
+            raise NotImplementedError("SH degree > 4")
+        return jnp.stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Frequency / TriangleWave / OneBlob / Identity / Composite
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FrequencyEncoding(Encoding):
+    n_input_dims: int = 3
+    n_frequencies: int = 12
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_input_dims * self.n_frequencies * 2
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        freqs = jnp.exp2(jnp.arange(self.n_frequencies, dtype=x.dtype)) * jnp.pi
+        ang = x[..., :, None] * freqs  # [N, D, F]
+        out = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [N, D, F, 2]
+        return out.reshape(*x.shape[:-1], self.n_output_dims)
+
+
+@dataclass
+class TriangleWaveEncoding(Encoding):
+    n_input_dims: int = 3
+    n_frequencies: int = 12
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_input_dims * self.n_frequencies
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        freqs = jnp.exp2(jnp.arange(self.n_frequencies, dtype=x.dtype))
+        ang = x[..., :, None] * freqs
+        tri = jnp.abs(2.0 * (ang - jnp.floor(ang + 0.5)))
+        return tri.reshape(*x.shape[:-1], self.n_output_dims)
+
+
+@dataclass
+class OneBlobEncoding(Encoding):
+    n_input_dims: int = 3
+    n_bins: int = 16
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_input_dims * self.n_bins
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        # Gaussian kernel integrated over each bin (quartic approx à la tcnn)
+        centers = (jnp.arange(self.n_bins, dtype=x.dtype) + 0.5) / self.n_bins
+        sigma = 1.0 / self.n_bins
+        d = x[..., :, None] - centers  # [N, D, B]
+        blob = jnp.exp(-0.5 * (d / sigma) ** 2) / (sigma * math.sqrt(2 * math.pi)) / self.n_bins
+        return blob.reshape(*x.shape[:-1], self.n_output_dims)
+
+
+@dataclass
+class IdentityEncoding(Encoding):
+    n_input_dims: int = 3
+    scale: float = 1.0
+    offset: float = 0.0
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_input_dims
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        return x * self.scale + self.offset
+
+
+@dataclass
+class CompositeEncoding(Encoding):
+    nested: Sequence[Encoding] = field(default_factory=list)
+
+    @property
+    def n_input_dims(self) -> int:  # type: ignore[override]
+        return sum(e.n_input_dims for e in self.nested)
+
+    @property
+    def n_output_dims(self) -> int:
+        return sum(e.n_output_dims for e in self.nested)
+
+    def init(self, rng: jax.Array):
+        keys = jax.random.split(rng, max(len(self.nested), 1))
+        return [e.init(k) for e, k in zip(self.nested, keys)]
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        outs, start = [], 0
+        for e, p in zip(self.nested, params):
+            outs.append(e.apply(p, x[..., start : start + e.n_input_dims]))
+            start += e.n_input_dims
+        return jnp.concatenate(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Factory from JSON config (reference: src/testbed.cu:2258-2302)
+# ---------------------------------------------------------------------------
+
+
+def build_encoding(cfg: dict, n_input_dims: int, per_level_scale: Optional[float] = None) -> Encoding:
+    otype = cfg.get("otype", "HashGrid")
+    if otype in ("HashGrid", "DenseGrid", "TiledGrid", "Grid"):
+        return GridEncoding(
+            n_input_dims=n_input_dims,
+            n_levels=cfg.get("n_levels", 16),
+            n_features_per_level=cfg.get("n_features_per_level", 2),
+            log2_hashmap_size=cfg.get("log2_hashmap_size", 19),
+            base_resolution=cfg.get("base_resolution", 16),
+            per_level_scale=per_level_scale or cfg.get("per_level_scale", 2.0),
+            hash_type="dense" if otype == "DenseGrid" else "hash",
+            interpolation=cfg.get("interpolation", "linear").lower(),
+        )
+    if otype == "SphericalHarmonics":
+        return SphericalHarmonicsEncoding(n_input_dims=3, degree=cfg.get("degree", 4))
+    if otype == "Frequency":
+        return FrequencyEncoding(n_input_dims=n_input_dims, n_frequencies=cfg.get("n_frequencies", 12))
+    if otype == "TriangleWave":
+        return TriangleWaveEncoding(n_input_dims=n_input_dims, n_frequencies=cfg.get("n_frequencies", 12))
+    if otype == "OneBlob":
+        return OneBlobEncoding(n_input_dims=n_input_dims, n_bins=cfg.get("n_bins", 16))
+    if otype == "Identity":
+        return IdentityEncoding(
+            n_input_dims=n_input_dims, scale=cfg.get("scale", 1.0), offset=cfg.get("offset", 0.0)
+        )
+    if otype == "Composite":
+        nested_cfgs = cfg.get("nested", [])
+        remaining = n_input_dims
+        nested = []
+        for i, nc in enumerate(nested_cfgs):
+            nd = nc.get("n_dims_to_encode")
+            if nd is None:
+                nd = remaining if i == len(nested_cfgs) - 1 else remaining
+            nd = min(nd, remaining)
+            if nd <= 0:
+                continue
+            nested.append(build_encoding(nc, nd, per_level_scale))
+            remaining -= nd
+        return CompositeEncoding(nested=nested)
+    raise ValueError(f"unknown encoding otype {otype!r}")

@@ -1,0 +1,30 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so sharding
+code is exercised without TPU hardware (bench.py runs on the real chip)."""
+
+import os
+
+if os.environ.get("NERFSHOP_TEST_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    import jax
+
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="session")
+def albert_image():
+    from nerfshop_tpu.data import image_io
+
+    path = "/root/reference/data/image/albert.exr"
+    if not os.path.exists(path):
+        pytest.skip("reference image data not available")
+    return image_io.read_image(path)[..., :3]

@@ -1,0 +1,71 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfshop_tpu.ops import grid as grid_lib
+from nerfshop_tpu.ops import coords
+
+
+def test_create_and_bitfield_threshold():
+    g = grid_lib.OccupancyGrid.create(2)
+    # plant density in one cell of cascade 0
+    density = g.density.at[0, 10, 20, 30].set(1.0)
+    g = g._replace(density=density)
+    g = grid_lib.update_bitfield(g)
+    occ = np.asarray(g.occupancy)
+    assert occ[0, 10, 20, 30]
+    assert occ[0].sum() == 1
+    # max-pool OR into the coarser cascade's center octant:
+    # fine cell (10,20,30) → pooled (5,10,15) → coarse (32+5, 32+10, 32+15)
+    assert occ[1, 37, 42, 47]
+
+
+def test_ema_update_decays_only_sampled():
+    g = grid_lib.OccupancyGrid.create(1)
+    density = g.density.at[0, 0, 0, 0].set(1.0).at[0, 1, 1, 1].set(1.0)
+    splat = jnp.full_like(density, -1.0).at[0, 0, 0, 0].set(0.0)
+    new = grid_lib.ema_update(density, splat, decay=0.9)
+    assert float(new[0, 0, 0, 0]) == np.float32(0.9)  # decayed (sample was 0)
+    assert float(new[0, 1, 1, 1]) == 1.0  # untouched
+
+
+def test_update_density_grid_with_synthetic_field(rng):
+    """Density field = ball at center → occupancy concentrated there."""
+
+    def density_fn(pos):
+        return jnp.where(jnp.linalg.norm(pos - 0.5, axis=-1) < 0.2, 100.0, 0.0)
+
+    g = grid_lib.OccupancyGrid.create(1)
+    g = g._replace(density=jnp.zeros_like(g.density))
+    g = grid_lib.update_density_grid(g, density_fn, rng, 1, 0, full_refresh=True)
+    g = grid_lib.update_bitfield(g)
+    occ = np.asarray(g.occupancy[0])
+    # center occupied, corner not
+    assert occ[64, 64, 64]
+    assert not occ[5, 5, 5]
+    # occupancy fraction ≈ ball volume = (4/3)π·0.2³ ≈ 3.3%
+    frac = occ.mean()
+    assert 0.02 < frac < 0.06
+
+
+def test_occupancy_lookup_matches_cells(rng):
+    g = grid_lib.OccupancyGrid.create(2)
+    density = jnp.zeros_like(g.density).at[0, 64, 64, 64].set(10.0)
+    g = grid_lib.update_bitfield(g._replace(density=density))
+    pos = jnp.asarray([[0.5039, 0.5039, 0.5039]])  # center of cell (64,64,64)
+    assert bool(grid_lib.occupancy_at(g, pos, jnp.asarray([0]))[0])
+    assert not bool(grid_lib.occupancy_at(g, jnp.asarray([[0.1, 0.1, 0.1]]), jnp.asarray([0]))[0])
+
+
+def test_partial_refresh_respects_occupancy(rng):
+    calls = []
+
+    def density_fn(pos):
+        calls.append(pos.shape)
+        return jnp.full(pos.shape[:-1], 5.0)
+
+    g = grid_lib.OccupancyGrid.create(1)
+    g = grid_lib.update_density_grid(g, density_fn, rng, 1, 4096, full_refresh=False)
+    assert calls[0] == (4096, 3)
+    # some cells got the new density
+    assert float(jnp.max(g.density)) == 5.0
