@@ -93,7 +93,8 @@ def update_density_grid(
 ) -> OccupancyGrid:
     """One density-grid maintenance step.
 
-    ``density_fn`` maps warped positions [N,3] → activated density [N].
+    ``density_fn`` maps WORLD (ngp-convention) positions [N,3] → activated
+    density [N]; callers compose ``warp_position`` + network inside it.
     ``full_refresh`` (warm-up, reference: first 256 steps) samples every cell;
     otherwise a uniform quarter plus an occupied-biased quarter.
     """

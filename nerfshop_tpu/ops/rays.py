@@ -1,0 +1,159 @@
+"""Camera ray generation: pinhole + lens distortion + DoF + subpixel jitter.
+
+Parity surface: the reference's ``pixel_to_ray`` (common_device.cuh:245) —
+pinhole projection with principal point, iterative radial/tangential
+undistortion (k1 k2 p1 p2), depth-of-field sampling, and subpixel jitter for
+progressive spp accumulation. F-theta and latlong lenses are deferred.
+
+All functions are batched over pixels and jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfshop_tpu.ops.coords import BoundingBox
+
+
+class RayBundle(NamedTuple):
+    origins: jnp.ndarray  # [..., 3] world space (ngp convention)
+    directions: jnp.ndarray  # [..., 3] unit length
+
+
+def _apply_distortion(uv: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """Forward Brown–Conrady distortion of normalized camera coords."""
+    k1, k2, p1, p2 = dist[0], dist[1], dist[2], dist[3]
+    x, y = uv[..., 0], uv[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * k2)
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+    return jnp.stack([xd, yd], -1)
+
+
+def iterative_undistort(uv: jnp.ndarray, dist: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """Invert the distortion by fixed-point iteration (same approach as the
+    reference's iterative_camera_undistortion)."""
+
+    def body(_, cur):
+        d = _apply_distortion(cur, dist) - cur
+        return uv - d
+
+    return jax.lax.fori_loop(0, iters, body, uv)
+
+
+def pixel_to_ray(
+    pixel_xy: jnp.ndarray,  # [..., 2] float pixel coords (x=col, y=row)
+    xform: jnp.ndarray,  # [3, 4] camera-to-world
+    focal: jnp.ndarray,  # [2]
+    principal: jnp.ndarray,  # [2] normalized
+    resolution: jnp.ndarray,  # [2] (W, H)
+    distortion: Optional[jnp.ndarray] = None,  # [4]
+    subpixel_jitter: Optional[jnp.ndarray] = None,  # [..., 2] in [0,1)
+    aperture: float = 0.0,
+    focus_z: float = 1.0,
+    dof_uv: Optional[jnp.ndarray] = None,  # [..., 2] unit-disc samples
+    snap_to_center: bool = True,
+) -> RayBundle:
+    """Camera ray through a pixel. Convention matches the reference: camera
+    looks down +z in its local frame with y flipped (image y grows down)."""
+    offset = subpixel_jitter if subpixel_jitter is not None else (0.5 if snap_to_center else 0.0)
+    xy = pixel_xy + offset
+    uv = (xy - principal * resolution) / focal  # normalized camera coords
+    if distortion is not None:
+        uv = iterative_undistort(uv, distortion)
+
+    d_cam = jnp.concatenate([uv, jnp.ones_like(uv[..., :1])], -1)  # [...,3]
+    rot = xform[:, :3]
+    origin = jnp.broadcast_to(xform[:, 3], d_cam.shape)
+    direction = jnp.einsum("ij,...j->...i", rot, d_cam)
+
+    if aperture > 0.0 and dof_uv is not None:
+        # shift origin on the lens disc, re-aim at the focal plane
+        focus_point = origin + direction * focus_z
+        lens = dof_uv * aperture  # [...,2]
+        shift = rot[:, 0] * lens[..., :1] + rot[:, 1] * lens[..., 1:2]
+        origin = origin + shift
+        direction = focus_point - origin
+
+    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    return RayBundle(origin, direction)
+
+
+def rays_for_image(
+    resolution: Tuple[int, int],  # (W, H)
+    xform: jnp.ndarray,
+    focal: jnp.ndarray,
+    principal: jnp.ndarray,
+    distortion: Optional[jnp.ndarray] = None,
+    subpixel_jitter: Optional[jnp.ndarray] = None,
+) -> RayBundle:
+    """All pixels of an image, row-major → origins/directions [H*W, 3]."""
+    W, H = resolution
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    pix = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)
+    res = jnp.asarray([W, H], jnp.float32)
+    return pixel_to_ray(pix, xform, focal, principal, res, distortion, subpixel_jitter)
+
+
+def sample_training_rays(
+    rng: jax.Array,
+    n_rays: int,
+    images: jnp.ndarray,  # [N, H, W, 4]
+    xforms: jnp.ndarray,  # [N, 3, 4]
+    focals: jnp.ndarray,  # [N, 2]
+    principals: jnp.ndarray,  # [N, 2]
+    distortions: Optional[jnp.ndarray] = None,  # [N, 4]
+    image_pmf: Optional[jnp.ndarray] = None,  # [N] image-selection CDF weights
+    error_map: Optional[jnp.ndarray] = None,  # [N, h, w] error-importance map
+) -> Tuple[RayBundle, jnp.ndarray, jnp.ndarray]:
+    """Random (image, pixel) pairs → rays + target rgba.
+
+    Mirrors generate_training_samples_nerf's ray setup
+    (src/testbed_nerf.cu:1087-1253): uniform image pick (or pmf), uniform
+    pixel pick (or 2D error-map CDF), snap to pixel centers.
+    Returns (rays [n_rays], rgba targets [n_rays, 4], image indices).
+    """
+    N, H, W = images.shape[:3]
+    k_img, k_pix, k_err = jax.random.split(rng, 3)
+    if image_pmf is not None:
+        img_idx = jax.random.categorical(k_img, jnp.log(image_pmf + 1e-12), shape=(n_rays,))
+    else:
+        img_idx = jax.random.randint(k_img, (n_rays,), 0, N)
+
+    if error_map is not None:
+        eh, ew = error_map.shape[1:]
+        flat = error_map[img_idx].reshape(n_rays, eh * ew) + 1e-8
+        cell = jax.random.categorical(k_err, jnp.log(flat), axis=-1)
+        cy, cx = cell // ew, cell % ew
+        jit = jax.random.uniform(k_pix, (n_rays, 2))
+        px = jnp.floor((cx + jit[:, 0]) / ew * W)
+        py = jnp.floor((cy + jit[:, 1]) / eh * H)
+        pix = jnp.stack([px, py], -1)
+    else:
+        pix = jnp.floor(
+            jax.random.uniform(k_pix, (n_rays, 2)) * jnp.asarray([W, H], jnp.float32)
+        )
+    pix = jnp.clip(pix, 0, jnp.asarray([W - 1, H - 1], jnp.float32))
+    ipix = pix.astype(jnp.int32)
+
+    targets = images[img_idx, ipix[:, 1], ipix[:, 0]]  # [n_rays, 4]
+
+    res = jnp.asarray([W, H], jnp.float32)
+    dist = distortions[img_idx] if distortions is not None else None
+
+    def one_ray(p, xf, f, pp, d):
+        dd = d if dist is not None else None
+        rb = pixel_to_ray(p, xf, f, pp, res, dd)
+        return rb.origins, rb.directions
+
+    if dist is not None:
+        o, d = jax.vmap(one_ray)(pix, xforms[img_idx], focals[img_idx], principals[img_idx], dist)
+    else:
+        o, d = jax.vmap(lambda p, xf, f, pp: one_ray(p, xf, f, pp, None))(
+            pix, xforms[img_idx], focals[img_idx], principals[img_idx]
+        )
+    return RayBundle(o, d), targets, img_idx
