@@ -44,7 +44,7 @@ class CameraIntrinsics:
 
 @dataclass
 class NerfDataset:
-    images: np.ndarray  # [N, H, W, 4] float32, linear, straight alpha
+    images: np.ndarray  # [N, H, W, 4] float32, native color space, straight alpha
     xforms: np.ndarray  # [N, 3, 4] camera-to-world, ngp convention
     intrinsics: List[CameraIntrinsics]
     paths: List[str]
@@ -59,6 +59,9 @@ class NerfDataset:
     light_dirs: Optional[np.ndarray] = None
     rolling_shutter: np.ndarray = field(default_factory=lambda: np.zeros(4, np.float32))
     envmap_path: Optional[str] = None
+    #: "srgb" for LDR sources (training happens in sRGB space, matching the
+    #: reference's linear_colors=false default, testbed.h:582), "linear" for HDR
+    color_space: str = "srgb"
 
     @property
     def n_images(self) -> int:
@@ -194,7 +197,9 @@ def load_nerf(
         p = resolve_path(base, f["file_path"])
         if p is None:
             return None
-        img = image_io.read_image(p)
+        # keep the file's native color space: LDR stays sRGB (the reference
+        # trains directly in sRGB, linear_colors=false), EXR stays linear
+        img = image_io.read_image(p, linear=False)
         if img.shape[-1] == 3:
             img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
         elif img.shape[-1] == 1:
@@ -255,4 +260,5 @@ def load_nerf(
         light_dirs=light_dirs,
         rolling_shutter=np.asarray(top.get("rolling_shutter", [0, 0, 0, 0]), np.float32),
         envmap_path=top.get("envmap"),
+        color_space="linear" if is_hdr else "srgb",
     )

@@ -1,0 +1,160 @@
+"""Frame rendering: the TPU-native counterpart of render_nerf / NerfTracer
+(src/testbed_nerf.cu:3066, 2772).
+
+Design divergence from CUDA (deliberate, XLA-first): instead of the
+double-buffered alive-ray compaction loop with a host-synced alive counter
+every iteration (testbed_nerf.cu:2827), each pixel chunk runs ONE occupancy-
+guided sampler (ops/march.py — fixed K slots, while_loop, zero host syncs)
+followed by ONE batched network evaluation and a cumulative-sum composite.
+Early termination appears as (a) the sampler's density-grid transmittance
+proxy and (b) the composite's hard transmittance cutoff, instead of
+per-iteration ray retirement. The network eval is a dense [chunk·K, ·]
+matmul slab on the MXU.
+
+Render modes supported: Shade, Depth, Positions, Normals (autodiff of the
+density field — the analog of network.input_gradient at 2924), Cost
+(samples/ray; ERenderMode::Cost), AO (opacity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfshop_tpu.common import (
+    MIN_TRANSMITTANCE_RENDER,
+    RenderMode,
+)
+from nerfshop_tpu.models.nerf_network import NerfNetwork
+from nerfshop_tpu.ops import composite as comp
+from nerfshop_tpu.ops import coords, march, rays as rays_lib
+
+NEAR_DISTANCE_RENDER = 0.05  # NERF_RENDERING_NEAR_DISTANCE (common_nerf.h:24)
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    k_samples: int = 64
+    cone_angle: float = 0.0
+    aabb_scale: int = 1
+    min_transmittance: float = MIN_TRANSMITTANCE_RENDER
+    chunk: int = 1 << 15
+    mode: RenderMode = RenderMode.Shade
+    use_grid_early_stop: bool = True
+    background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+
+
+class FrameOutput(NamedTuple):
+    rgba: jnp.ndarray  # [H, W, 4]
+    depth: jnp.ndarray  # [H, W]
+
+
+def _render_chunk(
+    model: NerfNetwork,
+    params,
+    occupancy: jnp.ndarray,
+    density_grid: jnp.ndarray,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    opts: RenderOptions,
+    bg: jnp.ndarray,
+):
+    aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
+    samples = march.march_rays(
+        origins,
+        directions,
+        occupancy,
+        aabb.min,
+        aabb.max,
+        jnp.asarray(opts.cone_angle),
+        t_start_min=NEAR_DISTANCE_RENDER,
+        k_samples=opts.k_samples,
+        density_grid=density_grid,
+        use_grid_early_stop=opts.use_grid_early_stop,
+    )
+    R, K = samples.t.shape
+    pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
+    flat_pos = pos_w.reshape(R * K, 3)
+    flat_dir = dir_w.reshape(R * K, 3)
+
+    if opts.mode == RenderMode.Normals:
+        def density_sum(p):
+            return jnp.sum(model.density(params, p))
+
+        grads = jax.grad(density_sum)(flat_pos)
+        normals = -grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True) + 1e-9)
+        rgb_s = (normals * 0.5 + 0.5).reshape(R, K, 3)
+        sigma = model.density(params, flat_pos).reshape(R, K)
+    elif opts.mode == RenderMode.Positions:
+        rgb_s = flat_pos.reshape(R, K, 3)
+        sigma = model.density(params, flat_pos).reshape(R, K)
+    else:
+        rgb, sigma = model(params, flat_pos, flat_dir)
+        rgb_s = rgb.reshape(R, K, 3)
+        sigma = sigma.reshape(R, K)
+
+    res = comp.composite(sigma, rgb_s, samples.dt, samples.t, samples.valid, opts.min_transmittance)
+
+    if opts.mode == RenderMode.Depth:
+        v = res.depth[:, None] * jnp.ones((1, 3))
+        rgba = jnp.concatenate([v, res.opacity[:, None]], -1)
+    elif opts.mode == RenderMode.Cost:
+        v = (res.n_used.astype(jnp.float32) / opts.k_samples)[:, None] * jnp.ones((1, 3))
+        rgba = jnp.concatenate([v, jnp.ones_like(v[:, :1])], -1)
+    elif opts.mode == RenderMode.AO:
+        v = res.opacity[:, None] * jnp.ones((1, 3))
+        rgba = jnp.concatenate([v, res.opacity[:, None]], -1)
+    else:
+        rgb_out = res.rgb + res.transmittance[:, None] * bg[:3]
+        alpha = res.opacity + res.transmittance * bg[3]
+        rgba = jnp.concatenate([rgb_out, alpha[:, None]], -1)
+    return rgba, res.depth
+
+
+def render_frame(
+    model: NerfNetwork,
+    params,
+    occupancy: jnp.ndarray,
+    density_grid: jnp.ndarray,
+    resolution: Tuple[int, int],  # (W, H)
+    xform: jnp.ndarray,  # [3,4]
+    focal: jnp.ndarray,  # [2] pixels
+    principal: jnp.ndarray = None,  # [2] normalized
+    distortion: Optional[jnp.ndarray] = None,
+    opts: RenderOptions = RenderOptions(),
+    subpixel_jitter: Optional[jnp.ndarray] = None,
+) -> FrameOutput:
+    """Render one frame, chunked over pixels. Jit happens per-chunk so
+    arbitrary resolutions reuse the same compiled program."""
+    W, H = resolution
+    principal = jnp.asarray([0.5, 0.5]) if principal is None else principal
+    bundle = rays_lib.rays_for_image((W, H), xform, focal, principal, distortion, subpixel_jitter)
+
+    n = W * H
+    chunk = opts.chunk
+    n_pad = (-n) % chunk
+    origins = jnp.concatenate([bundle.origins, jnp.zeros((n_pad, 3))])
+    dirs = jnp.concatenate([bundle.directions, jnp.ones((n_pad, 3)) * jnp.asarray([0.0, 0.0, 1.0])])
+
+    bg = jnp.asarray(opts.background, jnp.float32)
+    fn = jax.jit(
+        partial(_render_chunk, model),
+        static_argnames=("opts",),
+    )
+    rgba_chunks, depth_chunks = [], []
+    for i in range(0, n + n_pad, chunk):
+        rgba, depth = fn(
+            params, occupancy, density_grid,
+            origins[i : i + chunk], dirs[i : i + chunk],
+            opts=opts, bg=bg,
+        )
+        rgba_chunks.append(rgba)
+        depth_chunks.append(depth)
+    rgba = jnp.concatenate(rgba_chunks)[:n].reshape(H, W, 4)
+    depth = jnp.concatenate(depth_chunks)[:n].reshape(H, W)
+    return FrameOutput(rgba, depth)

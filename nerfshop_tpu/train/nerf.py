@@ -1,0 +1,192 @@
+"""NeRF training: the TPU-native analog of train_nerf_step.
+
+Reference pipeline (src/testbed_nerf.cu:4211-4440 ``train_nerf_step``,
+3697-3916 ``train_nerf``, 1685-1985 ``compute_loss_kernel_train_nerf``):
+per-step sample generation → no-grad inference → hand-derived loss/grad
+kernel → compaction → fused fwd+bwd → Adam. Here the whole step is ONE
+jitted function: sampling (non-differentiated), network forward on a fixed
+[R·K] slab, differentiable composite + photometric loss, ``jax.grad``
+through network+composite (reproducing the analytic dL/d(rgbσ)), optax
+update. No double forward, no host syncs, shardable over a device mesh
+(rays = batch dim).
+
+Loss semantics preserved: per-ray random background color, straight-alpha
+target compositing over that background, sRGB-space targets for LDR data
+(linear_colors=false, testbed.h:582), Huber/5 default, mean over rays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfshop_tpu.common import (
+    DEFAULT_BATCH_SIZE,
+    GRID_RESOLUTION,
+    MIN_TRANSMITTANCE_EVAL,
+)
+from nerfshop_tpu.models.nerf_network import NerfNetwork
+from nerfshop_tpu.ops import composite as comp
+from nerfshop_tpu.ops import coords, grid as grid_lib, march, rays as rays_lib
+from nerfshop_tpu.train import losses as loss_lib
+from nerfshop_tpu.train import optim
+
+
+class DeviceDataset(NamedTuple):
+    """Training data resident on device (or sharded across the mesh)."""
+
+    images: jnp.ndarray  # [N, H, W, 4]
+    xforms: jnp.ndarray  # [N, 3, 4]
+    focals: jnp.ndarray  # [N, 2]
+    principals: jnp.ndarray  # [N, 2]
+    distortions: jnp.ndarray  # [N, 4]
+
+    @staticmethod
+    def from_dataset(ds) -> "DeviceDataset":
+        return DeviceDataset(
+            images=jnp.asarray(ds.images),
+            xforms=jnp.asarray(ds.xforms),
+            focals=jnp.asarray(ds.focal_matrix()),
+            principals=jnp.asarray(ds.principal_matrix()),
+            distortions=jnp.asarray(ds.distortion_matrix()),
+        )
+
+
+@dataclass(frozen=True)
+class NerfTrainConfig:
+    n_rays_per_batch: int = 1 << 14
+    k_samples: int = 32
+    cone_angle: float = 0.0  # reference: 0 for aabb_scale 1, 1/256 otherwise
+    near_distance: float = 0.2  # testbed.h:603
+    min_transmittance: float = MIN_TRANSMITTANCE_EVAL
+    random_bg: bool = True
+    aabb_scale: int = 1
+    n_cascades: int = 1
+    loss_type: str = "Huber"
+
+    @staticmethod
+    def for_aabb_scale(aabb_scale: int, **kw) -> "NerfTrainConfig":
+        import math
+
+        n_casc = max(1, int(math.ceil(math.log2(max(aabb_scale, 1)))) + 1)
+        cone = 0.0 if aabb_scale <= 1 else 1.0 / 256.0
+        return NerfTrainConfig(aabb_scale=aabb_scale, n_cascades=n_casc, cone_angle=cone, **kw)
+
+
+def nerf_loss_fn(
+    params,
+    model: NerfNetwork,
+    samples: march.SampleBatch,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    targets: jnp.ndarray,  # [R, 4] straight-alpha, training color space
+    bg_color: jnp.ndarray,  # [R, 3]
+    aabb: coords.BoundingBox,
+    loss_fn: Callable,
+    min_transmittance: float,
+) -> Tuple[jnp.ndarray, dict]:
+    R, K = samples.t.shape
+    pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
+    rgb, sigma = model(params, pos_w.reshape(R * K, 3), dir_w.reshape(R * K, 3))
+    rgb = rgb.reshape(R, K, 3)
+    sigma = sigma.reshape(R, K)
+
+    res = comp.composite(sigma, rgb, samples.dt, samples.t, samples.valid, min_transmittance)
+    pred = comp.composite_with_background(res, bg_color)
+    target_rgb = targets[:, :3] * targets[:, 3:4] + bg_color * (1.0 - targets[:, 3:4])
+
+    per_ray = jnp.mean(loss_fn(target_rgb, pred), axis=-1)
+    loss = jnp.mean(per_ray)
+    aux = {
+        "loss": loss,
+        "measured_samples": jnp.sum(samples.n),
+        "mean_opacity": jnp.mean(res.opacity),
+    }
+    return loss, aux
+
+
+def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int] = None):
+    """Returns (params, occupancy, data, rng) → (grads, aux): the sampling +
+    forward + loss + backward slice of one step, without the optimizer
+    update — the unit that parallel layers wrap with a gradient psum."""
+    loss_fn = loss_lib.LOSSES[cfg.loss_type]
+    aabb = coords.BoundingBox.from_aabb_scale(cfg.aabb_scale)
+    n_rays = n_rays or cfg.n_rays_per_batch
+
+    def grads_of(params, occupancy: jnp.ndarray, data: DeviceDataset, rng: jax.Array):
+        k_rays, k_jit, k_bg = jax.random.split(rng, 3)
+        bundle, targets, _ = rays_lib.sample_training_rays(
+            k_rays, n_rays, data.images, data.xforms,
+            data.focals, data.principals, data.distortions,
+        )
+        t_jitter = jax.random.uniform(k_jit, (n_rays,))
+        samples = march.march_rays(
+            bundle.origins, bundle.directions, occupancy,
+            aabb.min, aabb.max, jnp.asarray(cfg.cone_angle),
+            t_jitter=t_jitter, t_start_min=cfg.near_distance,
+            k_samples=cfg.k_samples,
+        )
+        bg = (
+            jax.random.uniform(k_bg, (n_rays, 3))
+            if cfg.random_bg
+            else jnp.zeros((n_rays, 3))
+        )
+        grad_fn = jax.value_and_grad(
+            lambda p: nerf_loss_fn(
+                p, model, samples, bundle.origins, bundle.directions,
+                targets, bg, aabb, loss_fn, cfg.min_transmittance,
+            ),
+            has_aux=True,
+        )
+        (_, aux), grads = grad_fn(params)
+        return grads, aux
+
+    return grads_of
+
+
+def make_train_step(
+    model: NerfNetwork,
+    spec: optim.OptimizerSpec,
+    cfg: NerfTrainConfig,
+):
+    """Returns jittable (state, occupancy, data, rng) → (state, aux)."""
+    grads_of = make_grad_fn(model, cfg)
+
+    def step(state: optim.TrainState, occupancy: jnp.ndarray, data: DeviceDataset, rng: jax.Array):
+        grads, aux = grads_of(state.params, occupancy, data, rng)
+        new_state = optim.apply_gradients(state, grads, spec)
+        return new_state, aux
+
+    return step
+
+
+def make_density_fn(model: NerfNetwork, params, aabb: coords.BoundingBox):
+    """WORLD positions [N,3] → activated density (for the occupancy grid)."""
+
+    def fn(pos_world):
+        pos_w = jnp.clip(coords.warp_position(pos_world, aabb), 0.0, 1.0)
+        return model.density(params, pos_w)
+
+    return fn
+
+
+def make_grid_update(model: NerfNetwork, cfg: NerfTrainConfig, n_samples_per_cascade: int = GRID_RESOLUTION**3 // 4):
+    """jittable (grid, params, rng, full_refresh[static]) → grid.
+    Mirrors training_prep_nerf (testbed_nerf.cu:4460): density refresh + EMA
+    + bitfield rebuild every 16 steps; full refresh during warm-up."""
+    aabb = coords.BoundingBox.from_aabb_scale(cfg.aabb_scale)
+
+    @partial(jax.jit, static_argnames=("full_refresh",), donate_argnums=(0,))
+    def update(grid: grid_lib.OccupancyGrid, params, rng, full_refresh: bool):
+        fn = make_density_fn(model, params, aabb)
+        grid = grid_lib.update_density_grid(
+            grid, fn, rng, cfg.n_cascades, n_samples_per_cascade, full_refresh
+        )
+        return grid_lib.update_bitfield(grid)
+
+    return update

@@ -3,11 +3,18 @@ code is exercised without TPU hardware (bench.py runs on the real chip)."""
 
 import os
 
-if os.environ.get("NERFSHOP_TEST_TPU", "0") != "1":
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+if os.environ.get("NERFSHOP_TEST_TPU", "0") != "1":
+    # The axon sitecustomize force-registers the TPU backend and pins
+    # JAX_PLATFORMS=axon; the env var alone is not enough — override via
+    # jax.config before any computation runs.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
