@@ -1,0 +1,519 @@
+"""Testbed — the user-facing facade (API parity with pyngp's Testbed,
+src/python_api.cu:301-727 & pyngp/testbed.py, minus the imgui window).
+
+One object ties together dataset, network, optimizer state, occupancy grid,
+renderer, snapshots and (for NeRF) the edit-operator stack. All compute is
+jitted pure functions; the Testbed only holds state and caches compiled
+steps. Headless-first: ``frame()`` reproduces the reference's interactive
+loop semantics (16 train steps + density-grid prep per frame,
+src/testbed.cu:2044-2074) without a GUI.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from nerfshop_tpu.common import (
+    DEFAULT_BATCH_SIZE,
+    DEFAULT_STEPS_PER_FRAME,
+    GRID_RESOLUTION,
+    ColorSpace,
+    RenderMode,
+    TestbedMode,
+    TonemapCurve,
+)
+from nerfshop_tpu.config import (
+    ConfigDict,
+    default_image_config,
+    default_nerf_config,
+    default_sdf_config,
+    default_volume_config,
+    load_network_config,
+)
+
+
+class _Namespace:
+    """Nested attribute bag for the pyngp-style property tree
+    (testbed.nerf.training.*)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+@dataclass
+class TrainingStats:
+    step: int = 0
+    loss: float = 0.0
+    measured_batch_size: int = 0
+    training_prep_ms: float = 0.0
+    training_ms: float = 0.0
+    frame_ms: float = 0.0
+
+
+class Testbed:
+    def __init__(
+        self,
+        mode: TestbedMode | str = TestbedMode.Nerf,
+        scene: Optional[str] = None,
+        config: Optional[str | dict] = None,
+    ):
+        import jax
+
+        self.mode = TestbedMode(mode) if isinstance(mode, str) else mode
+        self._jax = jax
+        self._rng = jax.random.PRNGKey(int(time.time()) % (1 << 31))
+
+        # public knobs (reference member parity)
+        self.shall_train = False
+        self.render_mode = RenderMode.Shade
+        self.tonemap_curve = TonemapCurve.Identity
+        self.exposure = 0.0
+        self.background_color = np.array([0.0, 0.0, 0.0, 0.0], np.float32)
+        self.dynamic_res = True
+        self.dynamic_res_target_fps = 20.0
+        self.snap_to_pixel_centers = False
+
+        # nerf namespace (property-tree parity: testbed.nerf.training.*)
+        self.nerf = _Namespace(
+            training=_Namespace(
+                n_images_for_training=0,
+                random_bg_color=True,
+                near_distance=0.2,
+                density_grid_decay=0.95,
+                optimize_extrinsics=False,
+                optimize_exposure=False,
+                optimize_distortion=False,
+                error_map=_Namespace(is_cdf_valid=False),
+            ),
+            render_with_camera_distortion=False,
+            render_min_transmittance=1e-2,
+            cone_angle_constant=0.0,
+        )
+        self.stats = TrainingStats()
+
+        # internals
+        self._network_config: ConfigDict = self._default_config()
+        self._network_config_path: Optional[str] = None
+        self._dataset = None
+        self._device_data = None
+        self._model = None
+        self._state = None
+        self._spec = None
+        self._grid = None
+        self._train_cfg = None
+        self._step_fn = None
+        self._grid_update_fn = None
+        self._image_target = None
+        self._image_model = None
+        self._sdf = None
+        self._volume = None
+        self._edit_operators: list = []
+
+        # default camera (matches the reference's default view of the unit cube)
+        self.set_look_at(center=(0.5, 0.5, 0.5), eye=(0.5, -1.5, 0.5))
+        self.fov_deg = 50.0
+
+        if config is not None:
+            if isinstance(config, (str, Path)):
+                self.reload_network_from_file(str(config))
+            else:
+                self.reload_network_from_json(config)
+        if scene is not None:
+            self.load_training_data(scene)
+
+    # ------------------------------------------------------------------ config
+
+    def _default_config(self) -> ConfigDict:
+        return {
+            TestbedMode.Nerf: default_nerf_config,
+            TestbedMode.Image: default_image_config,
+            TestbedMode.Sdf: default_sdf_config,
+            TestbedMode.Volume: default_volume_config,
+        }[self.mode]()
+
+    def reload_network_from_file(self, path: str = "") -> None:
+        """Empty path → re-create the network fresh from the current config
+        (the reference's distill reset uses exactly this)."""
+        if path:
+            self._network_config = load_network_config(path)
+            self._network_config_path = path
+        self._reset_network()
+
+    def reload_network_from_json(self, cfg: dict) -> None:
+        self._network_config = ConfigDict(cfg)
+        self._reset_network()
+
+    # ------------------------------------------------------------------- data
+
+    def load_training_data(self, path: str) -> None:
+        path = Path(path)
+        if self.mode == TestbedMode.Nerf:
+            from nerfshop_tpu.data import nerf_loader
+
+            json_path = path if path.suffix == ".json" else path / "transforms.json"
+            self._dataset = nerf_loader.load_nerf(json_path)
+            self.nerf.training.n_images_for_training = self._dataset.n_images
+            self._reset_network()
+        elif self.mode == TestbedMode.Image:
+            from nerfshop_tpu.data import image_io
+
+            self._image_target = image_io.read_image(path, linear=True)[..., :3]
+            self._reset_network()
+        elif self.mode == TestbedMode.Sdf:
+            from nerfshop_tpu.geometry import mesh_io
+
+            self._sdf_mesh = mesh_io.load_mesh(path)
+            self._reset_network()
+        else:
+            raise NotImplementedError(f"load_training_data for {self.mode}")
+
+    # ----------------------------------------------------------------- network
+
+    def _reset_network(self) -> None:
+        import jax
+
+        self._rng, k = jax.random.split(self._rng)
+        cfg = self._network_config
+        if self.mode == TestbedMode.Nerf:
+            from nerfshop_tpu.models.nerf_network import build_nerf_network
+            from nerfshop_tpu.ops import grid as grid_lib
+            from nerfshop_tpu.train import nerf as nerf_train
+            from nerfshop_tpu.train import optim
+
+            aabb_scale = self._dataset.aabb_scale if self._dataset else 1
+            is_hdr = bool(self._dataset and self._dataset.is_hdr)
+            self._model = build_nerf_network(cfg, aabb_scale=aabb_scale, is_hdr=is_hdr)
+            self._spec = optim.build_optimizer(dict(cfg.get("optimizer", {})))
+            self._state = optim.create_train_state(self._model.init(k), self._spec)
+            self._train_cfg = nerf_train.NerfTrainConfig.for_aabb_scale(
+                aabb_scale,
+                loss_type=cfg.get("loss", {}).get("otype", "Huber"),
+                near_distance=self.nerf.training.near_distance,
+            )
+            self.nerf.cone_angle_constant = self._train_cfg.cone_angle
+            self._grid = grid_lib.OccupancyGrid.create(self._train_cfg.n_cascades)
+            self._step_fn = None  # lazily (re)jitted
+            self._grid_update_fn = None
+            if self._dataset is not None and self._dataset.intrinsics:
+                self._device_data = nerf_train.DeviceDataset.from_dataset(self._dataset)
+            self.stats = TrainingStats()
+        elif self.mode == TestbedMode.Image:
+            from nerfshop_tpu.train import image as image_mod
+            from nerfshop_tpu.train import optim
+
+            self._image_model = image_mod.ImageModel.from_config(cfg)
+            self._spec = optim.build_optimizer(dict(cfg.get("optimizer", {})))
+            self._state = optim.create_train_state(self._image_model.init(k), self._spec)
+            self._step_fn = None
+            self.stats = TrainingStats()
+        elif self.mode == TestbedMode.Sdf:
+            from nerfshop_tpu.train import sdf as sdf_train
+
+            self._sdf = sdf_train.SdfTestbed.create(cfg, getattr(self, "_sdf_mesh", None), k)
+            self._state = self._sdf.state
+            self.stats = TrainingStats()
+        elif self.mode == TestbedMode.Volume:
+            from nerfshop_tpu.train import volume as volume_train
+
+            self._volume = volume_train.VolumeTestbed.create(cfg, getattr(self, "_volume_grid", None), k)
+            self._state = self._volume.state
+            self.stats = TrainingStats()
+
+    # ---------------------------------------------------------------- training
+
+    def train(self, n_steps: int = DEFAULT_STEPS_PER_FRAME, batch_size: int = DEFAULT_BATCH_SIZE) -> float:
+        """n_steps of optimization; returns the last loss (reference:
+        Testbed::train src/testbed.cu:2502)."""
+        import jax
+
+        t_start = time.perf_counter()
+        if self.mode == TestbedMode.Nerf:
+            from nerfshop_tpu.train import nerf as nerf_train
+
+            assert self._dataset is not None, "load_training_data first"
+            if self._step_fn is None:
+                # rays per step so that rays·K ≈ batch_size
+                n_rays = max(256, batch_size // self._train_cfg.k_samples)
+                self._train_cfg = nerf_train.NerfTrainConfig(
+                    **{**self._train_cfg.__dict__, "n_rays_per_batch": n_rays}
+                )
+                self._step_fn = jax.jit(
+                    nerf_train.make_train_step(self._model, self._spec, self._train_cfg),
+                    donate_argnums=(0,),
+                )
+                self._grid_update_fn = nerf_train.make_grid_update(self._model, self._train_cfg)
+
+            loss = 0.0
+            for _ in range(n_steps):
+                self._rng, k1, k2 = jax.random.split(self._rng, 3)
+                step = self.stats.step
+                if step % 16 == 0:
+                    t0 = time.perf_counter()
+                    self._grid = self._grid_update_fn(
+                        self._grid, self._state.params, k2, full_refresh=step < 256
+                    )
+                    self.stats.training_prep_ms = (time.perf_counter() - t0) * 1e3
+                self._state, aux = self._step_fn(self._state, self._grid.occupancy, self._device_data, k1)
+                self.stats.step += 1
+            loss = float(aux["loss"])
+            self.stats.loss = loss
+            self.stats.measured_batch_size = int(aux["measured_samples"])
+        elif self.mode == TestbedMode.Image:
+            from nerfshop_tpu.train import image as image_mod
+            from nerfshop_tpu.train import losses
+
+            import jax.numpy as jnp
+
+            assert self._image_target is not None
+            if self._step_fn is None:
+                loss_fn = losses.build_loss(dict(self._network_config.get("loss", {"otype": "L2"})))
+                self._step_fn = image_mod.make_train_step(
+                    self._image_model, self._spec, loss_fn, batch_size=min(batch_size, 1 << 18)
+                )
+                self._image_dev = jnp.asarray(self._image_target)
+            for _ in range(n_steps):
+                self._rng, k = jax.random.split(self._rng)
+                self._state, loss = self._step_fn(self._state, self._image_dev, k)
+                self.stats.step += 1
+            loss = float(loss)
+            self.stats.loss = loss
+        elif self.mode == TestbedMode.Sdf:
+            loss = self._sdf.train(n_steps, batch_size)
+            self._state = self._sdf.state
+            self.stats.step = self._sdf.step
+            self.stats.loss = loss
+        elif self.mode == TestbedMode.Volume:
+            loss = self._volume.train(n_steps, batch_size)
+            self._state = self._volume.state
+            self.stats.step = self._volume.step
+            self.stats.loss = loss
+        else:
+            raise NotImplementedError(self.mode)
+        self.stats.training_ms = (time.perf_counter() - t_start) * 1e3
+        return loss
+
+    def frame(self) -> bool:
+        """One headless 'frame': train if enabled (reference frame loop)."""
+        t0 = time.perf_counter()
+        if self.shall_train:
+            self.train(DEFAULT_STEPS_PER_FRAME, DEFAULT_BATCH_SIZE)
+        self.stats.frame_ms = (time.perf_counter() - t0) * 1e3
+        return True
+
+    def set_train(self, value: bool) -> None:
+        self.shall_train = value
+
+    # --------------------------------------------------------------- rendering
+
+    def set_look_at(self, center=(0.5, 0.5, 0.5), eye=(0.5, -1.5, 0.5), up=(0.0, 0.0, 1.0)) -> None:
+        center = np.asarray(center, np.float32)
+        eye = np.asarray(eye, np.float32)
+        fwd = center - eye
+        fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+        right = np.cross(fwd, np.asarray(up, np.float32))
+        right /= np.linalg.norm(right) + 1e-12
+        down = np.cross(fwd, right)
+        self.camera_matrix = np.concatenate(
+            [np.stack([right, down, fwd], 1), eye[:, None]], axis=1
+        ).astype(np.float32)
+
+    def set_nerf_camera_matrix(self, nerf_matrix: np.ndarray) -> None:
+        """Set the view from a nerf-convention (transforms.json) matrix."""
+        from nerfshop_tpu.data.nerf_loader import nerf_matrix_to_ngp
+
+        ds = self._dataset
+        scale = ds.scale if ds else 0.33
+        offset = ds.offset if ds else np.array([0.5, 0.5, 0.5], np.float32)
+        self.camera_matrix = nerf_matrix_to_ngp(np.asarray(nerf_matrix, np.float32), scale, offset)
+
+    def _focal_for(self, width: int, height: int) -> np.ndarray:
+        f = 0.5 * height / math.tan(0.5 * math.radians(self.fov_deg))
+        return np.array([f, f], np.float32)
+
+    def render(
+        self,
+        width: int,
+        height: int,
+        spp: int = 1,
+        linear: bool = False,
+        camera_matrix: Optional[np.ndarray] = None,
+        focal: Optional[np.ndarray] = None,
+        principal: Optional[np.ndarray] = None,
+        min_transmittance: Optional[float] = None,
+    ) -> np.ndarray:
+        """→ [H, W, 4] float32 (sRGB-encoded unless ``linear``). Parity with
+        pyngp render/screenshot (scripts/run.py usage)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.mode == TestbedMode.Image:
+            from nerfshop_tpu.train import image as image_mod
+
+            img = image_mod.render_full_image(self._image_model, self._inference_params(), (height, width))
+            from nerfshop_tpu.ops import tonemap as tm
+
+            rgb = img if linear else jnp.clip(tm.linear_to_srgb(img), 0, 1)
+            return np.concatenate([np.asarray(rgb), np.ones((height, width, 1), np.float32)], -1)
+        if self.mode == TestbedMode.Sdf:
+            return self._sdf.render(width, height, self.camera_matrix, self._focal_for(width, height), linear)
+        if self.mode == TestbedMode.Volume:
+            return self._volume.render(width, height, self.camera_matrix, self._focal_for(width, height), linear)
+
+        from nerfshop_tpu.render import renderer
+        from nerfshop_tpu.render.buffer import RenderBuffer
+        from nerfshop_tpu.ops import tonemap as tm
+
+        assert self._model is not None, "no network"
+        cam = camera_matrix if camera_matrix is not None else self.camera_matrix
+        focal = focal if focal is not None else self._focal_for(width, height)
+        principal = principal if principal is not None else np.array([0.5, 0.5], np.float32)
+
+        opts = renderer.RenderOptions(
+            k_samples=64,
+            cone_angle=self._train_cfg.cone_angle if self._train_cfg else 0.0,
+            aabb_scale=self._train_cfg.aabb_scale if self._train_cfg else 1,
+            min_transmittance=min_transmittance or self.nerf.render_min_transmittance,
+            mode=self.render_mode,
+            background=tuple(np.asarray(self.background_color, np.float32)),
+        )
+        params = self._inference_params()
+        buf = RenderBuffer((width, height))
+        buf.clear()
+        for s in range(spp):
+            jitter = None
+            if spp > 1:
+                self._rng, k = jax.random.split(self._rng)
+                jitter = jax.random.uniform(k, (width * height, 2))
+            out = renderer.render_frame(
+                self._model, params, self._grid.occupancy, self._grid.density,
+                (width, height), jnp.asarray(cam), jnp.asarray(focal),
+                jnp.asarray(principal), opts=opts, subpixel_jitter=jitter,
+            )
+            buf.accumulate(out.rgba, out.depth)
+
+        srgb_space_model = (
+            self._dataset is not None and self._dataset.color_space == "srgb"
+        )
+        img = buf.tonemapped(
+            exposure=self.exposure,
+            curve=self.tonemap_curve,
+            output_srgb=not linear,
+            input_is_srgb_space=srgb_space_model and not linear,
+        )
+        if linear and srgb_space_model:
+            # model predicts sRGB-space radiance; convert for linear output
+            img = jnp.concatenate([tm.srgb_to_linear(img[..., :3]), img[..., 3:]], -1)
+        return np.asarray(img)
+
+    def screenshot(self, path: str, width: int = 1920, height: int = 1080, spp: int = 8) -> np.ndarray:
+        from nerfshop_tpu.data import image_io
+
+        img = self.render(width, height, spp=spp, linear=path.endswith(".exr"))
+        image_io.write_image(path, img, linear_input=False)
+        return img
+
+    def _inference_params(self):
+        return self._state.inference_params if self._state is not None else None
+
+    # --------------------------------------------------------------- snapshots
+
+    def save_snapshot(self, path: str, include_optimizer_state: bool = True) -> None:
+        from nerfshop_tpu.io import snapshot as snap_lib
+
+        metadata = None
+        if self._dataset is not None:
+            metadata = {
+                "aabb_scale": self._dataset.aabb_scale,
+                "scale": float(self._dataset.scale),
+                "offset": np.asarray(self._dataset.offset).tolist(),
+                "n_images": self._dataset.n_images,
+                "color_space": self._dataset.color_space,
+                "xforms": np.asarray(self._dataset.xforms).tolist(),
+            }
+        snap_lib.save_snapshot(
+            path,
+            params=self._state.params,
+            network_config=json.loads(json.dumps(dict(self._network_config))),
+            mode=self.mode.value,
+            opt_state=self._state.opt_state if include_optimizer_state else None,
+            ema_params=self._state.ema_params,
+            density_grid=np.asarray(self._grid.density) if self._grid is not None else None,
+            metadata=metadata,
+            step=self.stats.step,
+        )
+
+    def load_snapshot(self, path: str) -> None:
+        import jax.numpy as jnp
+
+        from nerfshop_tpu.io import snapshot as snap_lib
+        from nerfshop_tpu.ops import grid as grid_lib
+
+        snap = snap_lib.load_snapshot(path)
+        self.mode = TestbedMode(snap.get("mode", "nerf"))
+        self._network_config = ConfigDict(snap["network_config"])
+
+        # rebuild a dataset-shaped context from metadata if needed
+        meta = snap.get("nerf")
+        if meta and self._dataset is None:
+            from nerfshop_tpu.data.nerf_loader import NerfDataset
+
+            n = meta["n_images"]
+            self._dataset = NerfDataset(
+                images=np.zeros((n, 2, 2, 4), np.float32),
+                xforms=np.asarray(meta["xforms"], np.float32),
+                intrinsics=[],
+                paths=[],
+                scale=meta.get("scale", 0.33),
+                offset=np.asarray(meta.get("offset", [0.5, 0.5, 0.5]), np.float32),
+                aabb_scale=meta.get("aabb_scale", 1),
+                color_space=meta.get("color_space", "srgb"),
+            )
+        self._reset_network()
+
+        self._state = self._state._replace(
+            params=snap_lib.restore_params(self._state.params, snap, "params"),
+            step=jnp.asarray(snap.get("step", 0), jnp.int32),
+        )
+        if "ema_params" in snap and self._state.ema_params is not None:
+            ema = snap_lib._restore_like(self._state.ema_params, snap["ema_params"], "")
+            self._state = self._state._replace(ema_params=ema)
+        if snap.get("density_grid") is not None and self._grid is not None:
+            dg = jnp.asarray(snap["density_grid"])
+            if dg.shape[0] == self._grid.density.shape[0]:
+                self._grid = grid_lib.update_bitfield(self._grid._replace(density=dg))
+        self.stats.step = int(snap.get("step", 0))
+
+    # ------------------------------------------------------------------ editing
+
+    def add_edit_operator(self, op) -> None:
+        self._edit_operators.append(op)
+
+    def remove_edit_operator(self, idx: int) -> None:
+        self._edit_operators.pop(idx)
+
+    @property
+    def edit_operators(self):
+        return list(self._edit_operators)
+
+    # ------------------------------------------------------------------ metrics
+
+    def compute_image_mse(self, quantize: bool = False) -> float:
+        assert self.mode == TestbedMode.Image
+        from nerfshop_tpu.train import image as image_mod
+
+        H, W = self._image_target.shape[:2]
+        pred = image_mod.render_full_image(self._image_model, self._inference_params(), (H, W))
+        import jax.numpy as jnp
+
+        return float(image_mod.compute_image_mse(pred, jnp.asarray(self._image_target), quantize))
+
+    def calculate_iou(self, n_samples: int = 128**3, scale_existing_results_factor: float = 0.0) -> float:
+        assert self.mode == TestbedMode.Sdf
+        return self._sdf.calculate_iou(n_samples)

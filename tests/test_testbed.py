@@ -1,0 +1,101 @@
+"""Testbed facade: pyngp-parity surface (init/load/train/render/snapshot)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerfshop_tpu import Testbed, TestbedMode
+
+
+def _write_tiny_scene(tmp_path, n=3, res=12):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "images").mkdir()
+    frames = []
+    for i in range(n):
+        img = (rng.uniform(0, 1, (res, res, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "images" / f"{i}.png")
+        xf = np.eye(4)
+        xf[:3, 3] = [0, 0, 1.2]
+        frames.append({"file_path": f"images/{i}.png", "transform_matrix": xf.tolist()})
+    (tmp_path / "transforms.json").write_text(
+        json.dumps({"camera_angle_x": 0.9, "aabb_scale": 1, "frames": frames})
+    )
+    return tmp_path / "transforms.json"
+
+
+def _tiny_nerf_config():
+    return {
+        "loss": {"otype": "Huber"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "encoding": {"otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+                     "log2_hashmap_size": 12, "base_resolution": 8, "per_level_scale": 1.5},
+        "network": {"n_neurons": 16, "n_hidden_layers": 1},
+        "dir_encoding": {"otype": "SphericalHarmonics", "degree": 4},
+        "rgb_network": {"n_neurons": 16, "n_hidden_layers": 1},
+    }
+
+
+def test_testbed_nerf_train_render_snapshot(tmp_path):
+    scene = _write_tiny_scene(tmp_path)
+    tb = Testbed(TestbedMode.Nerf, config=_tiny_nerf_config())
+    tb.load_training_data(str(scene))
+    loss = tb.train(n_steps=2, batch_size=1024)
+    assert np.isfinite(loss)
+    assert tb.stats.step == 2
+
+    img = tb.render(16, 12, spp=1)
+    assert img.shape == (12, 16, 4)
+    assert np.isfinite(img).all()
+    assert (img >= 0).all() and (img <= 1).all()
+
+    # snapshot round-trip preserves params & render
+    snap_path = str(tmp_path / "snap.nst")
+    tb.save_snapshot(snap_path)
+    tb2 = Testbed(TestbedMode.Nerf)
+    tb2.load_snapshot(snap_path)
+    tb2.fov_deg = tb.fov_deg
+    tb2.camera_matrix = tb.camera_matrix
+    img2 = tb2.render(16, 12, spp=1)
+    np.testing.assert_allclose(img2, img, atol=1e-4)
+
+
+def test_testbed_image_mode(tmp_path):
+    from nerfshop_tpu.data import image_io
+
+    rng = np.random.default_rng(1)
+    target = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    image_io.write_image(tmp_path / "t.exr", target)
+
+    tb = Testbed(TestbedMode.Image)
+    tb._network_config["encoding"].update({"n_levels": 4, "log2_hashmap_size": 12, "base_resolution": 8})
+    tb._network_config["network"].update({"n_neurons": 16, "n_hidden_layers": 1})
+    tb.load_training_data(str(tmp_path / "t.exr"))
+    l0 = tb.train(n_steps=1, batch_size=2048)
+    l1 = tb.train(n_steps=30, batch_size=2048)
+    assert l1 < l0
+    mse = tb.compute_image_mse()
+    assert np.isfinite(mse)
+    img = tb.render(32, 32, linear=True)
+    assert img.shape == (32, 32, 4)
+
+
+def test_testbed_frame_loop(tmp_path):
+    scene = _write_tiny_scene(tmp_path)
+    tb = Testbed(TestbedMode.Nerf, scene=str(scene), config=_tiny_nerf_config())
+    tb.set_train(True)
+    assert tb.frame()
+    assert tb.stats.step == 16
+    assert tb.stats.frame_ms > 0
+
+
+def test_set_nerf_camera_matrix(tmp_path):
+    scene = _write_tiny_scene(tmp_path)
+    tb = Testbed(TestbedMode.Nerf, scene=str(scene), config=_tiny_nerf_config())
+    m = np.eye(4)[:3]
+    m[:3, 3] = [1.0, 2.0, 3.0]
+    tb.set_nerf_camera_matrix(m)
+    assert tb.camera_matrix.shape == (3, 4)
