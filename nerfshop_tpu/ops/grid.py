@@ -122,7 +122,15 @@ def update_density_grid(
 
     jitter = jax.random.uniform(k_jit, cells.shape)
     pos = cell_world_positions(cells, mips, jitter)
-    sigma = density_fn(pos)
+
+    # evaluate the density MLP in bounded chunks (a full refresh is C·128³
+    # positions — one giant call would blow HBM on the hash-encoding
+    # intermediates; lax.map compiles the body once and loops)
+    chunk = 1 << 17
+    n = pos.shape[0]
+    n_pad = (-n) % chunk
+    pos_p = jnp.concatenate([pos, jnp.zeros((n_pad, 3), pos.dtype)]) if n_pad else pos
+    sigma = jax.lax.map(density_fn, pos_p.reshape(-1, chunk, 3)).reshape(-1)[:n]
 
     splatted = jnp.full_like(grid.density, -1.0)
     splatted = splat_max(splatted, cells, mips, sigma.astype(jnp.float32), valid)
