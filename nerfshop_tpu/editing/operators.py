@@ -1,0 +1,236 @@
+"""Edit operators: the render/train-time warp stack.
+
+Reference counterparts: editing/edit_operator.h (virtual interface),
+cage_deformation.cu (CageDeformation::map_rays 547 / map_positions 624,
+interpolate_tet 197-269), affine_duplication.{h,cu}, the operator stack in
+NerfTracer (testbed.h:191-240) applied newest-first inside the march
+(testbed_nerf.cu:2867-2920) and the density-grid refresh (3533-3640).
+
+TPU re-design: operators are pytrees of arrays + pure functions — no device
+virtual calls (the reference builds placement-new device objects with
+virtual ``map``; here ``Distiller`` logic is the same pure functions reused
+by the distillation loss). The tet lookup is one batched gather + einsum
+over MAX_T candidate tets per point; the first containing tet wins.
+
+Conventions:
+* all positions are WORLD (ngp) space, pre-warp;
+* ``map_samples(pos, dir) → (pos', dir', empty, in_target)`` backward-warps
+  render samples (deformed → canonical) and flags vacated source samples;
+* ``map_positions(pos) → (pos', kill)`` is the position-only variant for
+  occupancy-grid refresh (interpolate_tet_pos 136-192).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfshop_tpu.editing.tet_mesh import TetLut
+
+
+# ---------------------------------------------------------------------------
+# Cage deformation
+# ---------------------------------------------------------------------------
+
+
+class CageDeformationOp(NamedTuple):
+    """Device state of one cage-deformation edit."""
+
+    lut_def: TetLut
+    lut_orig: TetLut
+    v0_def: jnp.ndarray  # [Nt, 3]
+    inv_def: jnp.ndarray  # [Nt, 3, 3]
+    v0_orig: jnp.ndarray
+    inv_orig: jnp.ndarray
+    verts_orig: jnp.ndarray  # [Nt, 4, 3]
+    verts_def: jnp.ndarray  # [Nt, 4, 3]
+    rot: jnp.ndarray  # [Nt, 3, 3] original→deformed rotation
+    copy_mode: jnp.ndarray  # [] bool — Copy keeps the source visible
+    # membrane (Poisson) per-tet-vertex residuals are attached by
+    # poisson.py when enabled; None otherwise (see E11)
+
+    @staticmethod
+    def from_tet_mesh(tet_mesh, copy_mode: bool = False, lut_res: int = 64) -> "CageDeformationOp":
+        lut_d, lut_o = tet_mesh.build_luts(res=lut_res)
+        arrs = tet_mesh.device_arrays()
+        return CageDeformationOp(
+            lut_def=lut_d,
+            lut_orig=lut_o,
+            v0_def=arrs["v0_def"],
+            inv_def=arrs["inv_def"],
+            v0_orig=arrs["v0_orig"],
+            inv_orig=arrs["inv_orig"],
+            verts_orig=arrs["verts_orig"],
+            verts_def=arrs["verts_def"],
+            rot=arrs["rot"],
+            copy_mode=jnp.asarray(copy_mode),
+        )
+
+
+def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray):
+    """p [N,3] → (found [N], tet [N], bary [N,4]) for the given tet set.
+    The analog of interpolate_tet's per-cell candidate loop, batched."""
+    res = lut.res
+    cell = jnp.floor((p - lut.bbox_lo) * lut.inv_cell).astype(jnp.int32)
+    inb = jnp.all((cell >= 0) & (cell < res), axis=-1)
+    cell = jnp.clip(cell, 0, res - 1)
+    ci = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+    cand = lut.cells[ci]  # [N, MAX_T]
+    valid = cand >= 0
+    cand_c = jnp.maximum(cand, 0)
+
+    d = p[:, None, :] - v0[cand_c]  # [N, MT, 3]
+    # inv_e is the inverse of the column-edge matrix, so bary(1:) = inv_e @ d
+    b = jnp.einsum("nmij,nmj->nmi", inv_e[cand_c], d)
+    b0 = 1.0 - jnp.sum(b, axis=-1)
+    eps = -1e-5
+    inside = valid & inb[:, None] & (b >= eps).all(-1) & (b0 >= eps)
+    found = inside.any(-1)
+    first = jnp.argmax(inside, axis=-1)
+    rows = jnp.arange(p.shape[0])
+    tet = cand_c[rows, first]
+    bary = jnp.concatenate([b0[rows, first][:, None], b[rows, first]], axis=-1)  # [N,4]
+    return found, tet, bary
+
+
+def cage_map_samples(op: CageDeformationOp, pos: jnp.ndarray, direction: jnp.ndarray):
+    """Backward warp render samples (CageDeformation::map_rays):
+    deformed-space sample → canonical query position + rotated direction;
+    vacated source samples flagged empty (unless copy)."""
+    in_target, tet, bary = tet_lookup(op.lut_def, op.v0_def, op.inv_def, pos)
+    canonical = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet])
+    # direction: deformed → canonical is the inverse (transpose) rotation
+    new_dir = jnp.einsum("nji,nj->ni", op.rot[tet], direction)
+    new_dir = new_dir / (jnp.linalg.norm(new_dir, axis=-1, keepdims=True) + 1e-12)
+
+    pos_out = jnp.where(in_target[:, None], canonical, pos)
+    dir_out = jnp.where(in_target[:, None], new_dir, direction)
+
+    in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos)
+    empty = in_source & ~in_target & ~op.copy_mode
+    return pos_out, dir_out, empty, in_target
+
+
+def cage_map_positions(op: CageDeformationOp, pos: jnp.ndarray):
+    """Position-only warp for grid refresh (map_positions / interpolate_tet_pos)."""
+    in_target, tet, bary = tet_lookup(op.lut_def, op.v0_def, op.inv_def, pos)
+    canonical = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet])
+    pos_out = jnp.where(in_target[:, None], canonical, pos)
+    in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos)
+    kill = in_source & ~in_target & ~op.copy_mode
+    return pos_out, kill
+
+
+def cage_in_source(op: CageDeformationOp, pos: jnp.ndarray) -> jnp.ndarray:
+    found, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos)
+    return found
+
+
+def cage_map_forward(op: CageDeformationOp, pos: jnp.ndarray):
+    """Canonical → deformed (the Distiller's ``map`` direction,
+    cage_deformation.cu CageDeformationDistiller::map: a source-region point
+    moves to its deformed location when baking an edit).
+    Returns (mapped pos, in_source)."""
+    in_source, tet, bary = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos)
+    deformed = jnp.einsum("nk,nkd->nd", bary, op.verts_def[tet])
+    return jnp.where(in_source[:, None], deformed, pos), in_source
+
+
+# ---------------------------------------------------------------------------
+# Affine duplication
+# ---------------------------------------------------------------------------
+
+
+class AffineDuplicationOp(NamedTuple):
+    """Box select → rigid/affine duplicate (affine_duplication.{h,cu})."""
+
+    box_center: jnp.ndarray  # [3] source box center
+    box_rot: jnp.ndarray  # [3,3] source box orientation (rows = axes)
+    box_half: jnp.ndarray  # [3] half extents
+    transform_rot: jnp.ndarray  # [3,3] source→target rotation·scale
+    transform_t: jnp.ndarray  # [3] source→target translation
+    hide_original: jnp.ndarray  # [] bool
+
+    @staticmethod
+    def create(center, half_extents, rotation=None, transform_rot=None, transform_t=None, hide_original=False):
+        eye = jnp.eye(3)
+        return AffineDuplicationOp(
+            box_center=jnp.asarray(center, jnp.float32),
+            box_rot=jnp.asarray(rotation if rotation is not None else eye, jnp.float32),
+            box_half=jnp.asarray(half_extents, jnp.float32),
+            transform_rot=jnp.asarray(transform_rot if transform_rot is not None else eye, jnp.float32),
+            transform_t=jnp.asarray(transform_t if transform_t is not None else jnp.zeros(3), jnp.float32),
+            hide_original=jnp.asarray(hide_original),
+        )
+
+    def _in_box(self, p):
+        local = jnp.einsum("ij,nj->ni", self.box_rot, p - self.box_center)
+        return jnp.all(jnp.abs(local) <= self.box_half, axis=-1)
+
+    def _to_source(self, p):
+        """Inverse affine: target-space point → source-space point."""
+        inv_rot = jnp.linalg.inv(self.transform_rot)
+        return jnp.einsum("ij,nj->ni", inv_rot, p - self.transform_t)
+
+
+def affine_map_samples(op: AffineDuplicationOp, pos: jnp.ndarray, direction: jnp.ndarray):
+    src = op._to_source(pos)
+    in_target = op._in_box(src)
+    inv_rot = jnp.linalg.inv(op.transform_rot)
+    new_dir = jnp.einsum("ij,nj->ni", inv_rot, direction)
+    new_dir = new_dir / (jnp.linalg.norm(new_dir, axis=-1, keepdims=True) + 1e-12)
+    pos_out = jnp.where(in_target[:, None], src, pos)
+    dir_out = jnp.where(in_target[:, None], new_dir, direction)
+    in_source = op._in_box(pos)
+    empty = in_source & ~in_target & op.hide_original
+    return pos_out, dir_out, empty, in_target
+
+
+def affine_map_positions(op: AffineDuplicationOp, pos: jnp.ndarray):
+    src = op._to_source(pos)
+    in_target = op._in_box(src)
+    pos_out = jnp.where(in_target[:, None], src, pos)
+    kill = op._in_box(pos) & ~in_target & op.hide_original
+    return pos_out, kill
+
+
+# ---------------------------------------------------------------------------
+# Operator stack
+# ---------------------------------------------------------------------------
+
+
+def apply_operator_samples(op, pos, direction):
+    if isinstance(op, CageDeformationOp):
+        return cage_map_samples(op, pos, direction)
+    if isinstance(op, AffineDuplicationOp):
+        return affine_map_samples(op, pos, direction)
+    raise TypeError(type(op))
+
+
+def apply_operator_positions(op, pos):
+    if isinstance(op, CageDeformationOp):
+        return cage_map_positions(op, pos)
+    if isinstance(op, AffineDuplicationOp):
+        return affine_map_positions(op, pos)
+    raise TypeError(type(op))
+
+
+def map_samples_through_stack(operators: List, pos: jnp.ndarray, direction: jnp.ndarray):
+    """Apply operators newest-first (reference: trace loop 2867-2920).
+    Returns (pos, dir, empty_mask)."""
+    empty = jnp.zeros(pos.shape[0], bool)
+    for op in reversed(operators):
+        pos, direction, e, _ = apply_operator_samples(op, pos, direction)
+        empty |= e
+    return pos, direction, empty
+
+
+def map_positions_through_stack(operators: List, pos: jnp.ndarray):
+    kill = jnp.zeros(pos.shape[0], bool)
+    for op in reversed(operators):
+        pos, k = apply_operator_positions(op, pos)
+        kill |= k
+    return pos, kill

@@ -1,28 +1,30 @@
-"""Occupancy-guided ray marching, restructured for XLA.
+"""Occupancy-guided ray marching, restructured for XLA/TPU.
 
-This is the TPU-native redesign of the reference's ragged CUDA march
+TPU-native redesign of the reference's ragged CUDA march
 (src/testbed_nerf.cu:1087-1253 ``generate_training_samples_nerf``, 637
 ``generate_next_nerf_network_inputs``, src/common_nerf.cu
-``advance_to_next_voxel``): instead of per-thread dynamic loops with atomic
-sample budgets and host-synced compaction, every ray owns a fixed slab of
-``K`` sample slots and a ``lax.while_loop`` advances all rays in lockstep,
-``W`` ladder steps per iteration, writing accepted samples with vectorized
-scatters. No host syncs, fully static shapes, one compiled program.
+``advance_to_next_voxel``). The CUDA code walks each ray sequentially with
+per-thread loops, DDA voxel skipping, atomic sample budgets and host-synced
+compaction. None of that maps to the TPU: gathers over the whole candidate
+set are nearly free (measured ~0.06 ms for 8M lookups) while sequential
+``while_loop`` iterations with scatters cost ~1 ms each. So the march is
+ONE SHOT:
 
-Semantics preserved:
+1. **Closed-form step ladder.** The reference's ``t += clamp(t·cone, dt_min,
+   dt_max)`` recurrence has an exact closed form in three segments (linear
+   at dt_min → geometric ×(1+cone) → linear at dt_max); candidate positions
+   ``T[r, m]`` for m = 0..M−1 are computed directly, no loop.
+2. **One occupancy gather** over all [R, M] candidates (cascade/mip chosen
+   per candidate exactly like mip_from_dt).
+3. **Transmittance proxy** (optional): a second gather of the density grid
+   gives a conservative optical-depth cumsum used for early termination at
+   render time (the analog of the trace loop's T < ε break).
+4. **Cumsum compaction**: ranks = cumsum(occupied); the first K occupied
+   candidates per ray scatter (one scatter) into the fixed [R, K] slab.
 
-* step ladder: ``t += dt`` with ``dt = clamp(t·cone_angle, dt_min, dt_max)``
-  (cone-angle footprint matching, common_nerf.cu calc_dt);
-* empty cells skipped by DDA: jump to the next voxel boundary of the
-  cascade's grid, rounded up to the ladder
-  (``t += max(ceil(dist/dt), 1)·dt`` — the closed form of
-  advance_to_next_voxel);
-* per-sample cascade from ``mip_from_dt`` so far samples land in coarse
-  cascades;
-* start jitter decorrelates the ladder across rays (training).
-
-The sampler is shared by training and rendering; an optional transmittance
-proxy from the density grid can terminate saturated rays early.
+Sampling semantics match the reference: samples are the ladder points whose
+cascade cell is occupied, capped at K per ray, jittered start, near-plane
+clamp. Empty space costs one gathered bit instead of a DDA loop.
 """
 
 from __future__ import annotations
@@ -33,9 +35,12 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from nerfshop_tpu.common import GRID_RESOLUTION
+from nerfshop_tpu.common import (
+    GRID_RESOLUTION,
+    MIN_CONE_STEPSIZE,
+    MAX_CONE_STEPSIZE,
+)
 from nerfshop_tpu.ops import coords
-from nerfshop_tpu.ops import grid as grid_lib
 from nerfshop_tpu.ops.coords import BoundingBox
 
 
@@ -56,9 +61,45 @@ class SampleBatch(NamedTuple):
         return self.t.shape[1]
 
 
+def step_ladder(t0: jnp.ndarray, m: jnp.ndarray, cone_angle) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed form of the reference's sequential t-recurrence.
+
+    t0: [R] start values; m: [M] step indices → (T [R,M], dt [R,M]).
+    Segment 1: dt_min steps until t ≥ t_a = dt_min/cone.
+    Segment 2: geometric ×(1+cone) until t ≥ t_b = dt_max/cone.
+    Segment 3: dt_max steps.
+    """
+    cone = jnp.asarray(cone_angle, jnp.float32)
+    eps = 1e-12
+    # cone == 0 → everything stays in segment 1 (t_a = ∞)
+    t_a = jnp.where(cone > 0, MIN_CONE_STEPSIZE / jnp.maximum(cone, eps), jnp.inf)
+    t_b = jnp.where(cone > 0, MAX_CONE_STEPSIZE / jnp.maximum(cone, eps), jnp.inf)
+
+    m = m.astype(jnp.float32)[None, :]  # [1, M]
+    t0 = t0[:, None]  # [R, 1]
+
+    m1 = jnp.ceil(jnp.maximum(t_a - t0, 0.0) / MIN_CONE_STEPSIZE)  # [R,1]
+    t1 = t0 + m1 * MIN_CONE_STEPSIZE  # first t in geometric region
+    g = 1.0 + cone
+    logg = jnp.log(jnp.maximum(g, 1.0 + eps))
+    m2 = jnp.where(
+        jnp.isfinite(t_b),
+        jnp.ceil(jnp.maximum(jnp.log(jnp.maximum(t_b, eps) / jnp.maximum(t1, eps)), 0.0) / logg),
+        jnp.inf,
+    )
+    t2 = t1 * jnp.exp(logg * m2)  # first t in dt_max region
+
+    T_lin = t0 + m * MIN_CONE_STEPSIZE
+    T_geo = t1 * jnp.exp(logg * jnp.maximum(m - m1, 0.0))
+    T_max = jnp.where(jnp.isfinite(t2), t2 + jnp.maximum(m - m1 - m2, 0.0) * MAX_CONE_STEPSIZE, T_geo)
+    T = jnp.where(m <= m1, T_lin, jnp.where(m <= m1 + m2, T_geo, T_max))
+    dt = coords.calc_dt(T, cone)
+    return T, dt
+
+
 @partial(
     jax.jit,
-    static_argnames=("k_samples", "steps_per_iter", "max_iters", "use_grid_early_stop"),
+    static_argnames=("k_samples", "n_candidates", "use_grid_early_stop"),
 )
 def march_rays(
     origins: jnp.ndarray,  # [R, 3] world
@@ -66,18 +107,18 @@ def march_rays(
     occupancy: jnp.ndarray,  # [C, R, R, R] bool
     aabb_lo: jnp.ndarray,  # [3]
     aabb_hi: jnp.ndarray,  # [3]
-    cone_angle: jnp.ndarray,  # [] or [R]
+    cone_angle: jnp.ndarray,  # []
     t_jitter: Optional[jnp.ndarray] = None,  # [R] in [0,1) or None
     t_start_min: float = 0.0,
     k_samples: int = 32,
-    steps_per_iter: int = 8,
-    max_iters: int = 512,
+    n_candidates: int = 1024,
     density_grid: Optional[jnp.ndarray] = None,
     use_grid_early_stop: bool = False,
-    grid_stop_tau: float = 16.0,
+    grid_stop_tau: float = 12.0,
 ) -> SampleBatch:
     R = origins.shape[0]
     K = k_samples
+    M = n_candidates
     n_cascades = occupancy.shape[0]
     aabb = BoundingBox(aabb_lo, aabb_hi)
 
@@ -88,86 +129,67 @@ def march_rays(
     if t_jitter is not None:
         t0 = t0 + coords.calc_dt(t0, cone_angle) * t_jitter
 
+    T, dt = step_ladder(t0, jnp.arange(M, dtype=jnp.int32), cone_angle)  # [R,M]
+    inside = T < tmax[:, None]
+
+    # candidate cell coords per coordinate axis — [R, M] each, fused by XLA
     # Cascade/occupancy space is WORLD space (ngp convention: cascade k is a
-    # side-2^k cube centered at (0.5,)³ — common_nerf.cu cascaded_grid_idx_at
-    # takes unwarped positions). Warping to the full aabb happens only for
-    # network inputs.
-    inv_dir = 1.0 / jnp.where(jnp.abs(directions) < 1e-12, 1e-12, directions)
+    # side-2^k cube centered at (0.5,)³ — common_nerf.cu cascaded_grid_idx_at).
+    px = origins[:, 0:1] + T * directions[:, 0:1]
+    py = origins[:, 1:2] + T * directions[:, 1:2]
+    pz = origins[:, 2:3] + T * directions[:, 2:3]
 
-    def world(t):
-        return origins + t[:, None] * directions
-
-    def step_once(t, tau):
-        """One ladder step for all rays: returns (next t, τ, sample fields)."""
-        dt = coords.calc_dt(t, cone_angle)
-        pos = world(t)
-        mip = coords.mip_from_dt(dt, pos, n_cascades)
-        cell = coords.cascaded_grid_coords(pos, mip)
-        occ = occupancy[mip, cell[..., 0], cell[..., 1], cell[..., 2]]
-        inside = t < tmax
-        accept = occ & inside
-
-        # DDA skip for empty cells: distance to the next voxel boundary of
-        # this cascade (res = 128 >> mip cells per world unit), rounded up to
-        # the dt ladder (closed form of advance_to_next_voxel).
-        res = (GRID_RESOLUTION >> mip).astype(jnp.float32)
-        p = pos * res[:, None]
-        bound = jnp.floor(p + 0.5 + 0.5 * jnp.sign(directions))
-        t_vox = jnp.min((bound - p) * inv_dir, axis=-1) / res
-        t_vox = jnp.maximum(t_vox, 0.0)
-        n_skip = jnp.maximum(jnp.ceil(t_vox / dt), 1.0)
-        t_next = jnp.where(accept, t + dt, t + n_skip * dt)
-
-        if use_grid_early_stop and density_grid is not None:
-            dens = density_grid[mip, cell[..., 0], cell[..., 1], cell[..., 2]]
-            tau = tau + jnp.where(accept, dens * dt, 0.0)
-        return t_next, tau, (t, dt, accept)
-
-    def cond(state):
-        t, n, tau, it, _, _ = state
-        alive = (t < tmax) & (n < K)
-        if use_grid_early_stop:
-            alive &= tau < grid_stop_tau
-        return jnp.any(alive) & (it < max_iters)
-
-    def body(state):
-        t, n, tau, it, out_t, out_dt = state
-        ts, dts, accs = [], [], []
-        for _ in range(steps_per_iter):
-            t, tau, (tc, dtc, acc) = step_once(t, tau)
-            ts.append(tc)
-            dts.append(dtc)
-            accs.append(acc)
-        ts = jnp.stack(ts, 1)  # [R, W]
-        dts = jnp.stack(dts, 1)
-        accs = jnp.stack(accs, 1)
-        if use_grid_early_stop:
-            # don't accept past saturation
-            accs &= (tau < grid_stop_tau)[:, None]
-
-        rank = jnp.cumsum(accs.astype(jnp.int32), axis=1)  # [R, W]
-        slot = n[:, None] + rank - 1
-        write = accs & (slot < K)
-        slot = jnp.where(write, slot, K)  # K → dropped by scatter
-        rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], slot.shape)
-        out_t = out_t.at[rows, slot].set(ts, mode="drop")
-        out_dt = out_dt.at[rows, slot].set(dts, mode="drop")
-        n = jnp.minimum(n + rank[:, -1], K)
-        return (t, n, tau, it + 1, out_t, out_dt)
-
-    init = (
-        t0,
-        jnp.where(hit, 0, K).astype(jnp.int32),  # missed rays collect nothing
-        jnp.zeros(R, jnp.float32),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((R, K), jnp.float32),
-        jnp.zeros((R, K), jnp.float32),
+    # mip_from_dt: cascade from position extent, coarsened by step width
+    maxval = jnp.maximum(jnp.maximum(jnp.abs(px - 0.5), jnp.abs(py - 0.5)), jnp.abs(pz - 0.5))
+    mip_pos = jnp.clip(
+        jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-12))).astype(jnp.int32) + 2, 0, n_cascades - 1
     )
-    t_fin, n_fin, tau, _, out_t, out_dt = jax.lax.while_loop(cond, body, init)
+    d_scaled = dt * (2 * GRID_RESOLUTION)
+    expo = jnp.floor(jnp.log2(jnp.maximum(d_scaled, 1e-12))).astype(jnp.int32) + 1
+    mip = jnp.where(
+        d_scaled < 1.0, mip_pos, jnp.clip(jnp.maximum(expo, mip_pos), 0, n_cascades - 1)
+    )
 
-    n_fin = jnp.where(hit, n_fin, 0)
-    valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n_fin[:, None]
-    return SampleBatch(t=out_t, dt=out_dt, valid=valid, n=n_fin)
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+    Rg = GRID_RESOLUTION
+
+    def cell_of(p):
+        q = (p - 0.5) * mip_scale + 0.5
+        return jnp.clip(jnp.floor(q * Rg).astype(jnp.int32), 0, Rg - 1)
+
+    ix, iy, iz = cell_of(px), cell_of(py), cell_of(pz)
+    flat = ((mip * Rg + ix) * Rg + iy) * Rg + iz  # [R, M]
+
+    # materialize the indices before gathering: without the barrier XLA fuses
+    # the whole index computation into (multiple) gather consumers and the
+    # fused kernel is ~50× slower than gather-from-materialized-indices
+    flat = jax.lax.optimization_barrier(flat)
+    occ = jnp.take(occupancy.reshape(-1), flat, axis=0) & inside  # one gather
+    occ = jax.lax.optimization_barrier(occ)
+
+    if use_grid_early_stop and density_grid is not None:
+        dens = jnp.take(density_grid.reshape(-1), flat, axis=0)
+        tau = jnp.cumsum(jnp.where(occ, dens * dt, 0.0), axis=1)
+        occ &= (tau - dens * dt) < grid_stop_tau  # exclusive cumsum test
+
+    # compaction: first K occupied candidates → [R, K] slots. ``rank`` is
+    # monotone along M, so the k-th occupied index is a binary search —
+    # scatter-free (TPU scatters cost ~100× a gather of the same size).
+    rank = jnp.cumsum(occ.astype(jnp.int32), axis=1)  # [R, M]
+    # idx_k = #(m : rank[m] < k+1) ≡ searchsorted(rank, k+1, 'left'); the
+    # brute-force count is ~14× faster than vmapped searchsorted on TPU
+    ks = jnp.arange(1, K + 1, dtype=jnp.int32)
+    idx = jnp.sum((rank[:, :, None] < ks[None, None, :]).astype(jnp.int32), axis=1)  # [R, K]
+    idx = jnp.minimum(idx, M - 1)
+    out_t = jnp.take_along_axis(T, idx, axis=1)
+    out_dt = jnp.take_along_axis(dt, idx, axis=1)
+
+    n = jnp.minimum(rank[:, -1], K)
+    n = jnp.where(hit, n, 0)
+    valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n[:, None]
+    out_t = jnp.where(valid, out_t, 0.0)
+    out_dt = jnp.where(valid, out_dt, 0.0)
+    return SampleBatch(t=out_t, dt=out_dt, valid=valid, n=n)
 
 
 def samples_to_network_inputs(

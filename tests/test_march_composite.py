@@ -24,7 +24,7 @@ def test_march_full_occupancy_uniform_steps():
     o, d = _center_ray()
     s = march.march_rays(
         o, d, occ, jnp.zeros(3), jnp.ones(3), jnp.zeros(()),
-        k_samples=64, max_iters=512,
+        k_samples=64,
     )
     n = int(s.n[0])
     assert n == 64  # fully occupied: fills all slots
@@ -43,7 +43,7 @@ def test_march_skips_empty_space():
     o, d = _center_ray()
     s = march.march_rays(
         o, d, jnp.asarray(occ), jnp.zeros(3), jnp.ones(3), jnp.zeros(()),
-        k_samples=64, max_iters=512,
+        k_samples=64,
     )
     n = int(s.n[0])
     assert n > 0
@@ -140,7 +140,7 @@ def test_march_respects_cascades():
     d = jnp.asarray([[1.0, 0.0, 0.0]])
     s = march.march_rays(
         o, d, jnp.asarray(occ), aabb_lo, aabb_hi, jnp.asarray(1.0 / 256),
-        k_samples=32, max_iters=512,
+        k_samples=32,
     )
     # samples exist only at t where pos is outside cascades 0/1 (|x-0.5|>1)
     ts = np.asarray(s.t[0])[np.asarray(s.valid[0])]
