@@ -175,16 +175,16 @@ def march_rays(
     # compaction: first K occupied candidates → [R, K] slots. ``rank`` is
     # monotone along M, so the k-th occupied index is a binary search —
     # scatter-free (TPU scatters cost ~100× a gather of the same size).
-    rank = jnp.cumsum(occ.astype(jnp.int32), axis=1)  # [R, M]
-    # idx_k = #(m : rank[m] < k+1) ≡ searchsorted(rank, k+1, 'left'); the
-    # brute-force count is ~14× faster than vmapped searchsorted on TPU
-    ks = jnp.arange(1, K + 1, dtype=jnp.int32)
-    idx = jnp.sum((rank[:, :, None] < ks[None, None, :]).astype(jnp.int32), axis=1)  # [R, K]
-    idx = jnp.minimum(idx, M - 1)
+    # top_k over a monotone score picks the first K occupied candidates in
+    # order (occupied scores M−m > 0 > −m unoccupied): scatter-free and
+    # without the [R,M,K] blow-up of a searchsorted/count formulation.
+    ms = jnp.arange(M, dtype=jnp.int32)[None, :]
+    score = jnp.where(occ, M - ms, -ms)
+    _, idx = jax.lax.top_k(score, K)  # [R, K], m ascending among occupied
     out_t = jnp.take_along_axis(T, idx, axis=1)
     out_dt = jnp.take_along_axis(dt, idx, axis=1)
 
-    n = jnp.minimum(rank[:, -1], K)
+    n = jnp.minimum(jnp.sum(occ.astype(jnp.int32), axis=1), K)
     n = jnp.where(hit, n, 0)
     valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n[:, None]
     out_t = jnp.where(valid, out_t, 0.0)
