@@ -70,9 +70,12 @@ class CageDeformationOp(NamedTuple):
         )
 
 
-def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray):
+def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray, eps: float = -1e-5):
     """p [N,3] → (found [N], tet [N], bary [N,4]) for the given tet set.
-    The analog of interpolate_tet's per-cell candidate loop, batched."""
+    The analog of interpolate_tet's per-cell candidate loop, batched.
+    ``eps``: barycentric containment margin — negative is inclusive (warp
+    lookups), positive is strict (used for the emptying test so a thin
+    numerical shell at the cage surface can't be falsely flagged vacated)."""
     res = lut.res
     cell = jnp.floor((p - lut.bbox_lo) * lut.inv_cell).astype(jnp.int32)
     inb = jnp.all((cell >= 0) & (cell < res), axis=-1)
@@ -86,7 +89,6 @@ def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray)
     # inv_e is the inverse of the column-edge matrix, so bary(1:) = inv_e @ d
     b = jnp.einsum("nmij,nmj->nmi", inv_e[cand_c], d)
     b0 = 1.0 - jnp.sum(b, axis=-1)
-    eps = -1e-5
     inside = valid & inb[:, None] & (b >= eps).all(-1) & (b0 >= eps)
     found = inside.any(-1)
     first = jnp.argmax(inside, axis=-1)
@@ -99,9 +101,15 @@ def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray)
 def cage_map_samples(op: CageDeformationOp, pos: jnp.ndarray, direction: jnp.ndarray):
     """Backward warp render samples (CageDeformation::map_rays):
     deformed-space sample → canonical query position + rotated direction;
-    vacated source samples flagged empty (unless copy)."""
+    vacated source samples flagged empty (unless copy).
+
+    The warp is evaluated in DELTA form, canonical = p + Σᵢ baryᵢ·(voᵢ − vdᵢ):
+    identical math to bary·verts_orig for exact barycentrics, but exactly
+    zero displacement for an identity cage even in ill-conditioned sliver
+    tets (fp32 E·E⁻¹ ≠ I noise scales with |deformation| instead of |p|)."""
     in_target, tet, bary = tet_lookup(op.lut_def, op.v0_def, op.inv_def, pos)
-    canonical = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet])
+    delta = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet] - op.verts_def[tet])
+    canonical = pos + delta
     # direction: deformed → canonical is the inverse (transpose) rotation
     new_dir = jnp.einsum("nji,nj->ni", op.rot[tet], direction)
     new_dir = new_dir / (jnp.linalg.norm(new_dir, axis=-1, keepdims=True) + 1e-12)
@@ -109,7 +117,8 @@ def cage_map_samples(op: CageDeformationOp, pos: jnp.ndarray, direction: jnp.nda
     pos_out = jnp.where(in_target[:, None], canonical, pos)
     dir_out = jnp.where(in_target[:, None], new_dir, direction)
 
-    in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos)
+    # strict margin: only clearly-interior source points are emptied
+    in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos, eps=5e-3)
     empty = in_source & ~in_target & ~op.copy_mode
     return pos_out, dir_out, empty, in_target
 
@@ -117,9 +126,9 @@ def cage_map_samples(op: CageDeformationOp, pos: jnp.ndarray, direction: jnp.nda
 def cage_map_positions(op: CageDeformationOp, pos: jnp.ndarray):
     """Position-only warp for grid refresh (map_positions / interpolate_tet_pos)."""
     in_target, tet, bary = tet_lookup(op.lut_def, op.v0_def, op.inv_def, pos)
-    canonical = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet])
-    pos_out = jnp.where(in_target[:, None], canonical, pos)
-    in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos)
+    delta = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet] - op.verts_def[tet])
+    pos_out = jnp.where(in_target[:, None], pos + delta, pos)
+    in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos, eps=5e-3)
     kill = in_source & ~in_target & ~op.copy_mode
     return pos_out, kill
 
@@ -135,8 +144,8 @@ def cage_map_forward(op: CageDeformationOp, pos: jnp.ndarray):
     moves to its deformed location when baking an edit).
     Returns (mapped pos, in_source)."""
     in_source, tet, bary = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos)
-    deformed = jnp.einsum("nk,nkd->nd", bary, op.verts_def[tet])
-    return jnp.where(in_source[:, None], deformed, pos), in_source
+    delta = jnp.einsum("nk,nkd->nd", bary, op.verts_def[tet] - op.verts_orig[tet])
+    return jnp.where(in_source[:, None], pos + delta, pos), in_source
 
 
 # ---------------------------------------------------------------------------

@@ -308,6 +308,8 @@ def compute_proxy_cage(
     shell = largest_component(shell)
     cage = vertex_cluster_decimate(shell, target_vertices)
     cage = largest_component(cage)
+    # consistent outward winding is a hard requirement for MVC
+    cage = isosurface.orient_consistently(cage)
 
     # selection voxel centers in world space
     xs, ys, zs = np.nonzero(selection)

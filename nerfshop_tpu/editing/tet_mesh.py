@@ -52,6 +52,9 @@ class TetMesh:
     tets: np.ndarray  # [Nt, 4] int32
     mvc_weights: Optional[np.ndarray] = None  # [T, Vcage]
     boundary_mask: Optional[np.ndarray] = None  # [T] verts on the cage surface
+    #: for tet verts that ARE cage vertices: the cage vertex index, else -1 —
+    #: these verts follow the cage exactly (no MVC reconstruction error)
+    cage_vertex_id: Optional[np.ndarray] = None
     rotations: Optional[np.ndarray] = None  # [Nt, 3, 3] original→deformed
 
     @property
@@ -121,14 +124,19 @@ class TetMesh:
         remap[used] = np.arange(len(used))
         verts = all_pts[used].astype(np.float32)
         tets = remap[tets].astype(np.int32)
-        boundary = np.zeros(len(used), bool)
-        boundary[remap[np.arange(len(cv))][remap[np.arange(len(cv))] >= 0]] = True
+        cage_ids = np.full(len(used), -1, np.int64)
+        for ci in range(len(cv)):
+            ni = remap[ci]
+            if ni >= 0:
+                cage_ids[ni] = ci
+        boundary = cage_ids >= 0
 
         tm = TetMesh(
             vertices_original=verts,
             vertices_deformed=verts.copy(),
             tets=tets,
             boundary_mask=boundary,
+            cage_vertex_id=cage_ids,
         )
         tm.initialize_mvc(cage)
         return tm
@@ -142,9 +150,14 @@ class TetMesh:
 
     def update_deformed(self, cage: Cage) -> None:
         """Cage moved → move tet verts by MVC, refresh rotations
-        (update_tet_mesh growing_selection.cu:1615)."""
+        (update_tet_mesh growing_selection.cu:1615). Tet verts that ARE cage
+        vertices follow the cage exactly, eliminating the thin MVC
+        reconstruction-error shell at the surface."""
         assert self.mvc_weights is not None
         self.vertices_deformed = cage.interpolate_deformed(self.mvc_weights).astype(np.float32)
+        if self.cage_vertex_id is not None:
+            on_cage = self.cage_vertex_id >= 0
+            self.vertices_deformed[on_cage] = cage.vertices_deformed[self.cage_vertex_id[on_cage]]
         self.update_local_rotations()
 
     def update_local_rotations(self) -> None:

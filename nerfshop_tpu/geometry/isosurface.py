@@ -169,6 +169,54 @@ def marching_tets(
     return TriMesh(verts[uniq_idx].astype(np.float32), faces[keep])
 
 
+def orient_consistently(mesh: TriMesh) -> TriMesh:
+    """Make face windings globally consistent (BFS over shared edges) and
+    outward (positive signed volume). Required before MVC — inconsistent
+    windings make the signed weight sums cancel."""
+    if mesh.n_faces == 0:
+        return mesh
+    faces = mesh.faces.copy()
+    # adjacency via shared undirected edges
+    from collections import defaultdict
+
+    edge_faces = defaultdict(list)
+    for fi, (a, b, c) in enumerate(faces):
+        for e in ((a, b), (b, c), (c, a)):
+            edge_faces[tuple(sorted(e))].append(fi)
+
+    def directed_edges(f):
+        a, b, c = f
+        return [(a, b), (b, c), (c, a)]
+
+    visited = np.zeros(len(faces), bool)
+    for seed in range(len(faces)):
+        if visited[seed]:
+            continue
+        stack = [seed]
+        visited[seed] = True
+        while stack:
+            fi = stack.pop()
+            de = set(directed_edges(faces[fi]))
+            for e in de:
+                key = tuple(sorted(e))
+                for nj in edge_faces[key]:
+                    if nj == fi or visited[nj]:
+                        continue
+                    # consistent orientation: the shared edge must appear in
+                    # OPPOSITE directions in the two faces
+                    if e in set(directed_edges(faces[nj])):
+                        faces[nj] = faces[nj][::-1]
+                    visited[nj] = True
+                    stack.append(nj)
+
+    # global flip so the signed volume is positive (outward normals)
+    v = mesh.vertices[faces]
+    vol = np.einsum("ij,ij->i", np.cross(v[:, 1], v[:, 2]), v[:, 0]).sum()
+    if vol < 0:
+        faces = faces[:, ::-1]
+    return TriMesh(mesh.vertices, np.ascontiguousarray(faces), mesh.colors, mesh.normals)
+
+
 def orient_faces_outward(mesh: TriMesh, field_fn: Callable[[np.ndarray], np.ndarray], iso: float = 0.0, density_convention: bool = True) -> TriMesh:
     """Flip faces so normals point away from the 'inside' (field > iso)."""
     if mesh.n_faces == 0:

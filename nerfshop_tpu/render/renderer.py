@@ -47,6 +47,9 @@ class RenderOptions:
     mode: RenderMode = RenderMode.Shade
     use_grid_early_stop: bool = True
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    #: number of edit operators baked into the compiled chunk fn (operators
+    #: themselves are traced arguments; only the count/type is static)
+    n_edit_operators: int = 0
 
 
 class FrameOutput(NamedTuple):
@@ -63,6 +66,7 @@ def _render_chunk(
     directions: jnp.ndarray,
     opts: RenderOptions,
     bg: jnp.ndarray,
+    operators: tuple = (),
 ):
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
     samples = march.march_rays(
@@ -78,7 +82,24 @@ def _render_chunk(
         use_grid_early_stop=opts.use_grid_early_stop,
     )
     R, K = samples.t.shape
-    pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
+
+    # edit-operator hook (reference: map_rays inside the trace loop,
+    # testbed_nerf.cu:2901): backward-warp WORLD sample positions through
+    # the operator stack, flag vacated source samples empty (→ α=0).
+    empty_mask = None
+    if operators:
+        from nerfshop_tpu.editing import operators as op_lib
+
+        pos_world = origins[:, None, :] + samples.t[..., None] * directions[:, None, :]
+        dirs_world = jnp.broadcast_to(directions[:, None, :], pos_world.shape)
+        p, dvec, empty = op_lib.map_samples_through_stack(
+            list(operators), pos_world.reshape(-1, 3), dirs_world.reshape(-1, 3)
+        )
+        pos_w = jnp.clip(coords.warp_position(p.reshape(R, K, 3), aabb), 0.0, 1.0)
+        dir_w = coords.warp_direction(dvec.reshape(R, K, 3))
+        empty_mask = empty.reshape(R, K)
+    else:
+        pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
     flat_pos = pos_w.reshape(R * K, 3)
     flat_dir = dir_w.reshape(R * K, 3)
 
@@ -97,6 +118,11 @@ def _render_chunk(
         rgb, sigma = model(params, flat_pos, flat_dir)
         rgb_s = rgb.reshape(R, K, 3)
         sigma = sigma.reshape(R, K)
+
+    if empty_mask is not None:
+        # emptying enforced per-sample at composite time (α=0 via empty_mask;
+        # reference: composite_kernel_nerf 764-767)
+        sigma = jnp.where(empty_mask, 0.0, sigma)
 
     res = comp.composite(sigma, rgb_s, samples.dt, samples.t, samples.valid, opts.min_transmittance)
 
@@ -128,6 +154,7 @@ def render_frame(
     distortion: Optional[jnp.ndarray] = None,
     opts: RenderOptions = RenderOptions(),
     subpixel_jitter: Optional[jnp.ndarray] = None,
+    operators: tuple = (),
 ) -> FrameOutput:
     """Render one frame, chunked over pixels. Jit happens per-chunk so
     arbitrary resolutions reuse the same compiled program."""
@@ -151,7 +178,7 @@ def render_frame(
         rgba, depth = fn(
             params, occupancy, density_grid,
             origins[i : i + chunk], dirs[i : i + chunk],
-            opts=opts, bg=bg,
+            opts=opts, bg=bg, operators=operators,
         )
         rgba_chunks.append(rgba)
         depth_chunks.append(depth)

@@ -395,6 +395,7 @@ class Testbed:
                 self._model, params, self._grid.occupancy, self._grid.density,
                 (width, height), jnp.asarray(cam), jnp.asarray(focal),
                 jnp.asarray(principal), opts=opts, subpixel_jitter=jitter,
+                operators=tuple(self._edit_operators),
             )
             buf.accumulate(out.rgba, out.depth)
 
@@ -501,6 +502,48 @@ class Testbed:
     @property
     def edit_operators(self):
         return list(self._edit_operators)
+
+    def begin_cage_edit(self):
+        """Start a cage-deformation edit: returns a GrowingSelection bound to
+        this testbed's model/scene (the 'Cage' button, src/testbed.cu:1083)."""
+        from nerfshop_tpu.editing.growing_selection import GrowingSelection
+        from nerfshop_tpu.ops import coords
+
+        assert self.mode == TestbedMode.Nerf and self._model is not None
+        return GrowingSelection(
+            model=self._model,
+            aabb=coords.BoundingBox.from_aabb_scale(self._train_cfg.aabb_scale),
+            cone_angle=self._train_cfg.cone_angle,
+        )
+
+    def clean_empty_space(self, n_iters: int = 1) -> None:
+        """Re-estimate the density grid through the operator stack
+        ('Clean Empty Space', src/testbed.cu:1072-1078 →
+        update_density_grid_nerf_operator)."""
+        import jax
+
+        from nerfshop_tpu.train import nerf as nerf_train
+
+        update = nerf_train.make_grid_update(
+            self._model, self._train_cfg, operators=tuple(self._edit_operators)
+        )
+        for _ in range(n_iters):
+            self._rng, k = jax.random.split(self._rng)
+            self._grid = update(self._grid, self._state.inference_params, k, full_refresh=False)
+
+    def save_edits(self, path: str) -> None:
+        """Serialize the operator list (reference: save_edits testbed.cu:3190)."""
+        from nerfshop_tpu.editing import serialization
+
+        serialization.save_edits(path, self._edit_operators, self._edit_metadata())
+
+    def load_edits(self, path: str) -> None:
+        from nerfshop_tpu.editing import serialization
+
+        self._edit_operators = serialization.load_edits(path)
+
+    def _edit_metadata(self) -> dict:
+        return {"mode": self.mode.value}
 
     # ------------------------------------------------------------------ metrics
 

@@ -165,17 +165,29 @@ def make_train_step(
     return step
 
 
-def make_density_fn(model: NerfNetwork, params, aabb: coords.BoundingBox):
-    """WORLD positions [N,3] → activated density (for the occupancy grid)."""
+def make_density_fn(model: NerfNetwork, params, aabb: coords.BoundingBox, operators: tuple = ()):
+    """WORLD positions [N,3] → activated density (for the occupancy grid).
+
+    With operators, positions are warped through the edit stack and vacated
+    source cells read zero density — the reference's
+    update_density_grid_nerf_operator path (testbed_nerf.cu:3533-3640)."""
 
     def fn(pos_world):
+        kill = None
+        if operators:
+            from nerfshop_tpu.editing import operators as op_lib
+
+            pos_world, kill = op_lib.map_positions_through_stack(list(operators), pos_world)
         pos_w = jnp.clip(coords.warp_position(pos_world, aabb), 0.0, 1.0)
-        return model.density(params, pos_w)
+        sigma = model.density(params, pos_w)
+        if kill is not None:
+            sigma = jnp.where(kill, 0.0, sigma)
+        return sigma
 
     return fn
 
 
-def make_grid_update(model: NerfNetwork, cfg: NerfTrainConfig, n_samples_per_cascade: int = GRID_RESOLUTION**3 // 4):
+def make_grid_update(model: NerfNetwork, cfg: NerfTrainConfig, n_samples_per_cascade: int = GRID_RESOLUTION**3 // 4, operators: tuple = ()):
     """jittable (grid, params, rng, full_refresh[static]) → grid.
     Mirrors training_prep_nerf (testbed_nerf.cu:4460): density refresh + EMA
     + bitfield rebuild every 16 steps; full refresh during warm-up."""
@@ -183,7 +195,7 @@ def make_grid_update(model: NerfNetwork, cfg: NerfTrainConfig, n_samples_per_cas
 
     @partial(jax.jit, static_argnames=("full_refresh",), donate_argnums=(0,))
     def update(grid: grid_lib.OccupancyGrid, params, rng, full_refresh: bool):
-        fn = make_density_fn(model, params, aabb)
+        fn = make_density_fn(model, params, aabb, operators)
         grid = grid_lib.update_density_grid(
             grid, fn, rng, cfg.n_cascades, n_samples_per_cascade, full_refresh
         )
