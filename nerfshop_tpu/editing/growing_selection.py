@@ -62,7 +62,7 @@ class GrowingSelection:
     def project(self, params, grid, origins: np.ndarray, directions: np.ndarray) -> int:
         """PROJECT: scribble rays → surface cells (E4). Returns #hits."""
         hit, pts, cells = sel_lib.project_selection_rays(
-            self.model, params, grid.occupancy, grid.density,
+            self.model, params, grid,
             origins, directions, self.aabb, self.cone_angle,
             self.transmittance_threshold,
         )

@@ -49,8 +49,9 @@ class CageDeformationOp(NamedTuple):
     verts_def: jnp.ndarray  # [Nt, 4, 3]
     rot: jnp.ndarray  # [Nt, 3, 3] original→deformed rotation
     copy_mode: jnp.ndarray  # [] bool — Copy keeps the source visible
-    # membrane (Poisson) per-tet-vertex residuals are attached by
-    # poisson.py when enabled; None otherwise (see E11)
+    #: optional MembraneData (editing/poisson.py) — per-tet-corner Poisson
+    #: residuals added to samples in the deformed region (E11)
+    membrane: object = None
 
     @staticmethod
     def from_tet_mesh(tet_mesh, copy_mode: bool = False, lut_res: int = 64) -> "CageDeformationOp":
@@ -235,6 +236,37 @@ def map_samples_through_stack(operators: List, pos: jnp.ndarray, direction: jnp.
         pos, direction, e, _ = apply_operator_samples(op, pos, direction)
         empty |= e
     return pos, direction, empty
+
+
+def map_samples_through_stack_full(operators: List, pos: jnp.ndarray, direction: jnp.ndarray):
+    """Like map_samples_through_stack, additionally accumulating membrane
+    residuals (reference: compute_poisson_full_residuals in the trace loop,
+    testbed_nerf.cu:2870). → (pos, dir, empty, resid_σ [N], resid_rgb [N,3])."""
+    from nerfshop_tpu.editing import poisson as poisson_lib
+
+    N = pos.shape[0]
+    empty = jnp.zeros(N, bool)
+    resid_sigma = jnp.zeros(N, jnp.float32)
+    resid_rgb = jnp.zeros((N, 3), jnp.float32)
+    for op in reversed(operators):
+        if isinstance(op, CageDeformationOp):
+            in_target, tet, bary = tet_lookup(op.lut_def, op.v0_def, op.inv_def, pos)
+            delta = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet] - op.verts_def[tet])
+            new_pos = jnp.where(in_target[:, None], pos + delta, pos)
+            new_dir = jnp.einsum("nji,nj->ni", op.rot[tet], direction)
+            new_dir = new_dir / (jnp.linalg.norm(new_dir, axis=-1, keepdims=True) + 1e-12)
+            new_dir = jnp.where(in_target[:, None], new_dir, direction)
+            in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos, eps=5e-3)
+            empty |= in_source & ~in_target & ~op.copy_mode
+            if op.membrane is not None:
+                rs, rc = poisson_lib.membrane_residuals_at(op.membrane, tet, bary, in_target, new_dir)
+                resid_sigma += rs
+                resid_rgb += rc
+            pos, direction = new_pos, new_dir
+        else:
+            pos, direction, e, _ = apply_operator_samples(op, pos, direction)
+            empty |= e
+    return pos, direction, empty, resid_sigma, resid_rgb
 
 
 def map_positions_through_stack(operators: List, pos: jnp.ndarray):

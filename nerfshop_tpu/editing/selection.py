@@ -41,8 +41,7 @@ R = GRID_RESOLUTION
 def project_selection_rays(
     model,
     params,
-    occupancy,
-    density_grid,
+    grid,
     origins: np.ndarray,
     directions: np.ndarray,
     aabb,
@@ -60,10 +59,10 @@ def project_selection_rays(
 
     origins = jnp.asarray(origins, jnp.float32)
     directions = jnp.asarray(directions, jnp.float32)
-    samples = march.march_rays(
-        origins, directions, occupancy, aabb.min, aabb.max,
+    samples = march.march_rays_skip(
+        origins, directions, grid.skip, aabb.min, aabb.max,
         jnp.asarray(cone_angle), k_samples=k_samples,
-        density_grid=density_grid, use_grid_early_stop=True,
+        density_grid=grid.density, use_grid_early_stop=True,
     )
     Rn, K = samples.t.shape
     pos_w, _ = march.samples_to_network_inputs(samples, origins, directions, aabb)
@@ -76,7 +75,7 @@ def project_selection_rays(
     t_hit = jnp.take_along_axis(samples.t, first[:, None], axis=1)[:, 0]
     points = origins + t_hit[:, None] * directions
 
-    mip = coords.mip_from_pos(points, occupancy.shape[0])
+    mip = coords.mip_from_pos(points, grid.occupancy.shape[0])
     cell = coords.cascaded_grid_coords(points, mip)
     cells = jnp.concatenate([mip[:, None], cell], axis=-1)
     return np.asarray(hit), np.asarray(points), np.asarray(cells)

@@ -41,6 +41,11 @@ class OccupancyGrid(NamedTuple):
     density: jnp.ndarray  # [C, R, R, R] float32, EMA'd density (post-activation)
     occupancy: jnp.ndarray  # [C, R, R, R] bool
     mean_density: jnp.ndarray  # [] float32
+    #: chebyshev distance (in cells, capped) to the nearest occupied cell;
+    #: 0 = occupied. Lets the march jump (d−1) cells per lookup — the
+    #: TPU answer to per-step DDA skipping (random HBM gathers are
+    #: tile-granular, so fewer lookups beat cheaper lookups).
+    skip: jnp.ndarray = None  # [C, R, R, R] int32
 
     @property
     def n_cascades(self) -> int:
@@ -52,7 +57,31 @@ class OccupancyGrid(NamedTuple):
             density=jnp.zeros((n_cascades, R, R, R), jnp.float32),
             occupancy=jnp.ones((n_cascades, R, R, R), jnp.bool_),
             mean_density=jnp.zeros((), jnp.float32),
+            skip=jnp.zeros((n_cascades, R, R, R), jnp.int32),
         )
+
+
+MAX_SKIP = 15
+
+
+def skip_field_from_occupancy(occ: jnp.ndarray, max_skip: int = MAX_SKIP) -> jnp.ndarray:
+    """[C,R,R,R] bool → capped chebyshev distance-to-occupied [C,R,R,R] int32.
+
+    Iterative separable 3-tap min along x/y/z grows a chebyshev ball one
+    cell per iteration — max_skip cheap dense passes on the VPU."""
+    d = jnp.where(occ, 0, max_skip).astype(jnp.int32)
+
+    def one_iter(d, _):
+        e = d
+        for axis in (1, 2, 3):
+            lo = jnp.roll(e, 1, axis=axis)
+            hi = jnp.roll(e, -1, axis=axis)
+            # roll wraps; edges are conservative anyway (clamped by +1 below)
+            e = jnp.minimum(e, jnp.minimum(lo, hi))
+        return jnp.minimum(d, e + 1), None
+
+    d, _ = jax.lax.scan(one_iter, d, None, length=max_skip)
+    return d
 
 
 def cell_world_positions(cell_idx: jnp.ndarray, mip: jnp.ndarray, jitter: jnp.ndarray) -> jnp.ndarray:
@@ -155,7 +184,12 @@ def update_bitfield(grid: OccupancyGrid) -> OccupancyGrid:
         lo, hi = R // 4, R // 4 + R // 2
         merged = occ[k].at[lo:hi, lo:hi, lo:hi].max(pooled)
         levels.append(merged)
-    return grid._replace(occupancy=jnp.stack(levels), mean_density=mean)
+    occupancy = jnp.stack(levels)
+    return grid._replace(
+        occupancy=occupancy,
+        mean_density=mean,
+        skip=skip_field_from_occupancy(occupancy),
+    )
 
 
 def occupancy_at(grid: OccupancyGrid, pos: jnp.ndarray, mip: jnp.ndarray) -> jnp.ndarray:

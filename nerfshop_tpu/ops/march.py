@@ -192,6 +192,106 @@ def march_rays(
     return SampleBatch(t=out_t, dt=out_dt, valid=valid, n=n)
 
 
+@partial(jax.jit, static_argnames=("k_samples", "n_steps", "use_grid_early_stop"))
+def march_rays_skip(
+    origins: jnp.ndarray,  # [R, 3] world
+    directions: jnp.ndarray,  # [R, 3] unit
+    skip_field: jnp.ndarray,  # [C, R, R, R] int32 chebyshev dist-to-occupied
+    aabb_lo: jnp.ndarray,
+    aabb_hi: jnp.ndarray,
+    cone_angle: jnp.ndarray,
+    t_jitter: Optional[jnp.ndarray] = None,
+    t_start_min: float = 0.0,
+    k_samples: int = 32,
+    n_steps: int = 96,
+    density_grid: Optional[jnp.ndarray] = None,
+    use_grid_early_stop: bool = False,
+    grid_stop_tau: float = 12.0,
+) -> SampleBatch:
+    """Skip-field march: the production sampler.
+
+    Each of ``n_steps`` scan iterations does ONE [R] skip-field lookup per
+    ray: distance 0 → emit a sample and step dt; distance d>0 → jump
+    (d−1) cells of that cascade (the chebyshev ball is guaranteed empty).
+    Total lookups = R·n_steps ≈ 10× fewer than checking every ladder
+    candidate — the knob that matters, since TPU random gathers are
+    tile-granular. Emissions accumulate as scan outputs (no scatters);
+    one top_k compacts them into the [R, K] slab."""
+    R_ = origins.shape[0]
+    K = k_samples
+    n_cascades = skip_field.shape[0]
+    aabb = BoundingBox(aabb_lo, aabb_hi)
+    Rg = GRID_RESOLUTION
+
+    tmin, tmax = aabb.ray_intersect(origins, directions)
+    tmin = jnp.maximum(tmin, t_start_min)
+    hit = tmin < tmax
+    t0 = jnp.where(hit, tmin, tmax)
+    if t_jitter is not None:
+        t0 = t0 + coords.calc_dt(t0, cone_angle) * t_jitter
+
+    flat_skip = skip_field.reshape(-1)
+    flat_dens = density_grid.reshape(-1) if density_grid is not None else None
+
+    def body(carry, _):
+        t, tau = carry
+        dt = coords.calc_dt(t, cone_angle)
+        px = origins[:, 0] + t * directions[:, 0]
+        py = origins[:, 1] + t * directions[:, 1]
+        pz = origins[:, 2] + t * directions[:, 2]
+        maxval = jnp.maximum(jnp.maximum(jnp.abs(px - 0.5), jnp.abs(py - 0.5)), jnp.abs(pz - 0.5))
+        mip_pos = jnp.clip(
+            jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-12))).astype(jnp.int32) + 2, 0, n_cascades - 1
+        )
+        dsc = dt * (2 * Rg)
+        expo = jnp.floor(jnp.log2(jnp.maximum(dsc, 1e-12))).astype(jnp.int32) + 1
+        mip = jnp.where(dsc < 1.0, mip_pos, jnp.clip(jnp.maximum(expo, mip_pos), 0, n_cascades - 1))
+        ms = jnp.exp2(-mip.astype(jnp.float32))
+
+        def cell_of(p):
+            return jnp.clip(jnp.floor(((p - 0.5) * ms + 0.5) * Rg).astype(jnp.int32), 0, Rg - 1)
+
+        flat = ((mip * Rg + cell_of(px)) * Rg + cell_of(py)) * Rg + cell_of(pz)
+        d = jnp.take(flat_skip, flat, axis=0)  # [R] — the one gather
+        inside = t < tmax
+        occupied = (d == 0) & inside
+
+        if use_grid_early_stop and flat_dens is not None:
+            dens = jnp.take(flat_dens, flat, axis=0)
+            new_tau = tau + jnp.where(occupied, dens * dt, 0.0)
+            occupied &= tau < grid_stop_tau
+        else:
+            new_tau = tau
+
+        cell_w = jnp.exp2(mip.astype(jnp.float32)) / Rg  # world cell width
+        jump = jnp.maximum((d - 1).astype(jnp.float32), 0.0) * cell_w
+        t_next = t + jnp.maximum(dt, jump)
+        return (t_next, new_tau), (t, dt, occupied)
+
+    (_, _), (ts, dts, occs) = jax.lax.scan(
+        body, (t0, jnp.zeros(R_, jnp.float32)), None, length=n_steps
+    )
+    ts = ts.T  # [R, S]
+    dts = dts.T
+    occs = occs.T
+
+    S = n_steps
+    ssi = jnp.arange(S, dtype=jnp.int32)[None, :]
+    score = jnp.where(occs, S - ssi, -ssi)
+    _, idx = jax.lax.top_k(score, K)
+    out_t = jnp.take_along_axis(ts, idx, axis=1)
+    out_dt = jnp.take_along_axis(dts, idx, axis=1)
+    n = jnp.minimum(jnp.sum(occs.astype(jnp.int32), axis=1), K)
+    n = jnp.where(hit, n, 0)
+    valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n[:, None]
+    return SampleBatch(
+        t=jnp.where(valid, out_t, 0.0),
+        dt=jnp.where(valid, out_dt, 0.0),
+        valid=valid,
+        n=n,
+    )
+
+
 def samples_to_network_inputs(
     samples: SampleBatch,
     origins: jnp.ndarray,

@@ -60,8 +60,7 @@ class FrameOutput(NamedTuple):
 def _render_chunk(
     model: NerfNetwork,
     params,
-    occupancy: jnp.ndarray,
-    density_grid: jnp.ndarray,
+    grid,
     origins: jnp.ndarray,
     directions: jnp.ndarray,
     opts: RenderOptions,
@@ -69,35 +68,40 @@ def _render_chunk(
     operators: tuple = (),
 ):
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
-    samples = march.march_rays(
+    samples = march.march_rays_skip(
         origins,
         directions,
-        occupancy,
+        grid.skip,
         aabb.min,
         aabb.max,
         jnp.asarray(opts.cone_angle),
         t_start_min=NEAR_DISTANCE_RENDER,
         k_samples=opts.k_samples,
-        density_grid=density_grid,
+        n_steps=max(128, 2 * opts.k_samples),
+        density_grid=grid.density,
         use_grid_early_stop=opts.use_grid_early_stop,
     )
     R, K = samples.t.shape
 
     # edit-operator hook (reference: map_rays inside the trace loop,
     # testbed_nerf.cu:2901): backward-warp WORLD sample positions through
-    # the operator stack, flag vacated source samples empty (→ α=0).
+    # the operator stack, flag vacated source samples empty (→ α=0), and
+    # collect membrane residuals (E11).
     empty_mask = None
+    resid_sigma = resid_rgb = None
     if operators:
         from nerfshop_tpu.editing import operators as op_lib
 
         pos_world = origins[:, None, :] + samples.t[..., None] * directions[:, None, :]
         dirs_world = jnp.broadcast_to(directions[:, None, :], pos_world.shape)
-        p, dvec, empty = op_lib.map_samples_through_stack(
+        p, dvec, empty, rs, rc = op_lib.map_samples_through_stack_full(
             list(operators), pos_world.reshape(-1, 3), dirs_world.reshape(-1, 3)
         )
         pos_w = jnp.clip(coords.warp_position(p.reshape(R, K, 3), aabb), 0.0, 1.0)
         dir_w = coords.warp_direction(dvec.reshape(R, K, 3))
         empty_mask = empty.reshape(R, K)
+        resid_sigma = rs.reshape(R, K)
+        resid_rgb = rc.reshape(R, K, 3)
     else:
         pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
     flat_pos = pos_w.reshape(R * K, 3)
@@ -123,6 +127,11 @@ def _render_chunk(
         # emptying enforced per-sample at composite time (α=0 via empty_mask;
         # reference: composite_kernel_nerf 764-767)
         sigma = jnp.where(empty_mask, 0.0, sigma)
+    if resid_sigma is not None:
+        # membrane blending (reference: composite 770-805, simplified to
+        # additive residual density + SH color delta)
+        sigma = sigma + resid_sigma
+        rgb_s = jnp.clip(rgb_s + resid_rgb, 0.0, None)
 
     res = comp.composite(sigma, rgb_s, samples.dt, samples.t, samples.valid, opts.min_transmittance)
 
@@ -145,8 +154,7 @@ def _render_chunk(
 def render_frame(
     model: NerfNetwork,
     params,
-    occupancy: jnp.ndarray,
-    density_grid: jnp.ndarray,
+    grid,
     resolution: Tuple[int, int],  # (W, H)
     xform: jnp.ndarray,  # [3,4]
     focal: jnp.ndarray,  # [2] pixels
@@ -176,7 +184,7 @@ def render_frame(
     rgba_chunks, depth_chunks = [], []
     for i in range(0, n + n_pad, chunk):
         rgba, depth = fn(
-            params, occupancy, density_grid,
+            params, grid,
             origins[i : i + chunk], dirs[i : i + chunk],
             opts=opts, bg=bg, operators=operators,
         )

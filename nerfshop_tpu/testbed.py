@@ -260,7 +260,7 @@ class Testbed:
                         self._grid, self._state.params, k2, full_refresh=step < 256
                     )
                     self.stats.training_prep_ms = (time.perf_counter() - t0) * 1e3
-                self._state, aux = self._step_fn(self._state, self._grid.occupancy, self._device_data, k1)
+                self._state, aux = self._step_fn(self._state, self._grid, self._device_data, k1)
                 self.stats.step += 1
             loss = float(aux["loss"])
             self.stats.loss = loss
@@ -392,7 +392,7 @@ class Testbed:
                 self._rng, k = jax.random.split(self._rng)
                 jitter = jax.random.uniform(k, (width * height, 2))
             out = renderer.render_frame(
-                self._model, params, self._grid.occupancy, self._grid.density,
+                self._model, params, self._grid,
                 (width, height), jnp.asarray(cam), jnp.asarray(focal),
                 jnp.asarray(principal), opts=opts, subpixel_jitter=jitter,
                 operators=tuple(self._edit_operators),

@@ -1,0 +1,154 @@
+"""Distillation: bake the edit stack into a standalone NeRF.
+
+Reference (T9, SURVEY §3.4): train_nerf_step_distill
+(src/testbed_nerf.cu:3918-4209) re-trains a freshly-reset network against
+the GT photos with edit-aware sample remapping — rays crossing edits spawn
+auxiliary rays per cage combination, samples in source regions are
+forward-mapped (canonical→deformed) and overwritten/outside/emptying
+samples force α=0 (loss kernel 2058-2082).
+
+TPU re-design (deliberate divergence, documented): **teacher–student field
+distillation**. The teacher is the OLD network seen through the edit
+operator stack (exactly what the edited renderer displays); the student is
+a fresh network queried at the unwarped sample positions. The student
+matches the teacher where it matters:
+
+* per-sample field loss — σ and rgb of teacher (after warp + empty-mask +
+  membrane residuals) vs student at the same deformed-space point;
+* pixel loss — composited colors along training-camera rays.
+
+This optimizes the M6 gate directly (distilled render ≡ edited render),
+needs no aux-ray budget bookkeeping, supports arbitrary operator stacks,
+and is one jitted step. The reference's own abandoned StudentTrainer
+(student_trainer.cu, dead code) was this same idea; on TPU the extra
+teacher forward is cheap (one more fused MLP slab per step).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfshop_tpu.models.nerf_network import NerfNetwork
+from nerfshop_tpu.ops import composite as comp
+from nerfshop_tpu.ops import coords, march, rays as rays_lib
+from nerfshop_tpu.train import nerf as nerf_train
+from nerfshop_tpu.train import optim
+
+
+@dataclass(frozen=True)
+class DistillConfig:
+    n_rays_per_batch: int = 1 << 13
+    k_samples: int = 32
+    cone_angle: float = 0.0
+    aabb_scale: int = 1
+    near_distance: float = 0.05
+    field_loss_weight: float = 1.0
+    pixel_loss_weight: float = 1.0
+    min_transmittance: float = 1e-4
+
+
+def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.ndarray, dir_world: jnp.ndarray, aabb):
+    """The edited scene's field at deformed-space points: warp through the
+    stack, query the old network, apply empty-mask and membrane residuals."""
+    from nerfshop_tpu.editing import operators as op_lib
+
+    p, dvec, empty, rs, rc = op_lib.map_samples_through_stack_full(list(operators), pos_world, dir_world)
+    pos_w = jnp.clip(coords.warp_position(p, aabb), 0.0, 1.0)
+    dir_w = coords.warp_direction(dvec)
+    rgb, sigma = model(params, pos_w, dir_w)
+    sigma = jnp.where(empty, 0.0, sigma) + rs
+    rgb = jnp.clip(rgb + rc, 0.0, None)
+    return rgb, sigma
+
+
+def make_distill_step(
+    model: NerfNetwork,
+    teacher_params,
+    operators: tuple,
+    spec: optim.OptimizerSpec,
+    cfg: DistillConfig,
+):
+    """→ jittable (student_state, occupancy, data, rng) → (state, aux).
+
+    ``grid`` should be the EDITED OccupancyGrid (refreshed through the
+    operator stack) so rays sample where the edited scene has content."""
+    aabb = coords.BoundingBox.from_aabb_scale(cfg.aabb_scale)
+
+    def step(state: optim.TrainState, grid, data: nerf_train.DeviceDataset, rng: jax.Array):
+        k_rays, k_jit = jax.random.split(rng)
+        bundle, _, _ = rays_lib.sample_training_rays(
+            k_rays, cfg.n_rays_per_batch, data.images, data.xforms,
+            data.focals, data.principals, data.distortions,
+        )
+        t_jitter = jax.random.uniform(k_jit, (cfg.n_rays_per_batch,))
+        samples = march.march_rays_skip(
+            bundle.origins, bundle.directions, grid.skip,
+            aabb.min, aabb.max, jnp.asarray(cfg.cone_angle),
+            t_jitter=t_jitter, t_start_min=cfg.near_distance,
+            k_samples=cfg.k_samples,
+        )
+        R, K = samples.t.shape
+        pos_world = (bundle.origins[:, None, :] + samples.t[..., None] * bundle.directions[:, None, :]).reshape(-1, 3)
+        dir_world = jnp.broadcast_to(bundle.directions[:, None, :], (R, K, 3)).reshape(-1, 3)
+
+        t_rgb, t_sigma = teacher_field(model, teacher_params, operators, pos_world, dir_world, aabb)
+        t_rgb = jax.lax.stop_gradient(t_rgb)
+        t_sigma = jax.lax.stop_gradient(t_sigma)
+
+        pos_w = jnp.clip(coords.warp_position(pos_world, aabb), 0.0, 1.0)
+        dir_w = coords.warp_direction(dir_world)
+        vmask = samples.valid.reshape(-1)
+
+        def loss_of(params):
+            s_rgb, s_sigma = model(params, pos_w, dir_w)
+            # field matching in log-density space (exp activation → match
+            # optical thickness robustly)
+            d_sig = jnp.log1p(s_sigma) - jnp.log1p(t_sigma)
+            field = jnp.mean(jnp.where(vmask, jnp.square(d_sig), 0.0)) + jnp.mean(
+                jnp.where(vmask[:, None], jnp.square(s_rgb - t_rgb), 0.0)
+            )
+            # pixel composite matching
+            s_res = comp.composite(
+                s_sigma.reshape(R, K), s_rgb.reshape(R, K, 3),
+                samples.dt, samples.t, samples.valid, cfg.min_transmittance,
+            )
+            t_res = comp.composite(
+                t_sigma.reshape(R, K), t_rgb.reshape(R, K, 3),
+                samples.dt, samples.t, samples.valid, cfg.min_transmittance,
+            )
+            pix = jnp.mean(jnp.square(s_res.rgb - jax.lax.stop_gradient(t_res.rgb)))
+            loss = cfg.field_loss_weight * field + cfg.pixel_loss_weight * pix
+            return loss, {"loss": loss, "field_loss": field, "pixel_loss": pix}
+
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        return optim.apply_gradients(state, grads, spec), aux
+
+    return step
+
+
+def distill(
+    model: NerfNetwork,
+    teacher_params,
+    operators: tuple,
+    data: nerf_train.DeviceDataset,
+    grid_edited,
+    rng: jax.Array,
+    n_steps: int = 2000,
+    cfg: DistillConfig = DistillConfig(),
+    optimizer_cfg: dict = None,
+) -> optim.TrainState:
+    """Convenience driver: fresh student → trained student state."""
+    spec = optim.build_optimizer(
+        optimizer_cfg or {"otype": "Adam", "learning_rate": 1e-2, "beta1": 0.9, "beta2": 0.99, "epsilon": 1e-15}
+    )
+    rng, k = jax.random.split(rng)
+    state = optim.create_train_state(model.init(k), spec)
+    step = jax.jit(make_distill_step(model, teacher_params, operators, spec, cfg), donate_argnums=(0,))
+    for _ in range(n_steps):
+        rng, k = jax.random.split(rng)
+        state, aux = step(state, grid_edited, data, k)
+    return state

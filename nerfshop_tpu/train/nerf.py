@@ -118,15 +118,15 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
     aabb = coords.BoundingBox.from_aabb_scale(cfg.aabb_scale)
     n_rays = n_rays or cfg.n_rays_per_batch
 
-    def grads_of(params, occupancy: jnp.ndarray, data: DeviceDataset, rng: jax.Array):
+    def grads_of(params, grid: grid_lib.OccupancyGrid, data: DeviceDataset, rng: jax.Array):
         k_rays, k_jit, k_bg = jax.random.split(rng, 3)
         bundle, targets, _ = rays_lib.sample_training_rays(
             k_rays, n_rays, data.images, data.xforms,
             data.focals, data.principals, data.distortions,
         )
         t_jitter = jax.random.uniform(k_jit, (n_rays,))
-        samples = march.march_rays(
-            bundle.origins, bundle.directions, occupancy,
+        samples = march.march_rays_skip(
+            bundle.origins, bundle.directions, grid.skip,
             aabb.min, aabb.max, jnp.asarray(cfg.cone_angle),
             t_jitter=t_jitter, t_start_min=cfg.near_distance,
             k_samples=cfg.k_samples,
@@ -154,11 +154,11 @@ def make_train_step(
     spec: optim.OptimizerSpec,
     cfg: NerfTrainConfig,
 ):
-    """Returns jittable (state, occupancy, data, rng) → (state, aux)."""
+    """Returns jittable (state, grid, data, rng) → (state, aux)."""
     grads_of = make_grad_fn(model, cfg)
 
-    def step(state: optim.TrainState, occupancy: jnp.ndarray, data: DeviceDataset, rng: jax.Array):
-        grads, aux = grads_of(state.params, occupancy, data, rng)
+    def step(state: optim.TrainState, grid: grid_lib.OccupancyGrid, data: DeviceDataset, rng: jax.Array):
+        grads, aux = grads_of(state.params, grid, data, rng)
         new_state = optim.apply_gradients(state, grads, spec)
         return new_state, aux
 

@@ -1,0 +1,49 @@
+"""Distillation gate (SURVEY M6): distilled render (no operators) matches
+the edited render (with operators)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfshop_tpu.train import distill as distill_lib
+from nerfshop_tpu.train import nerf as nerf_train
+from nerfshop_tpu.train import optim
+from nerfshop_tpu.ops import grid as grid_lib
+
+from test_edit_pipeline_e2e import _build_cage_op, _render, trained  # fixture
+from test_nerf_train_e2e import make_dataset, small_model
+
+
+@pytest.mark.slow
+def test_distill_matches_edited_render(trained):
+    model, state, grid, cfg, focal, principal = trained
+    shift = (0.15, 0.0, 0.0)
+    gs, op = _build_cage_op(trained, translate=shift)
+    operators = (op,)
+
+    # edited occupancy: refresh the grid through the operator stack
+    gu = nerf_train.make_grid_update(model, cfg, n_samples_per_cascade=32768, operators=operators)
+    grid_edit = grid
+    rng = jax.random.PRNGKey(5)
+    for _ in range(4):
+        rng, k = jax.random.split(rng)
+        grid_edit = gu(grid_edit, state.params, k, full_refresh=False)
+
+    data, _, _ = make_dataset()
+    dcfg = distill_lib.DistillConfig(
+        n_rays_per_batch=2048, k_samples=24, aabb_scale=1, near_distance=0.05,
+    )
+    student = distill_lib.distill(
+        model, state.inference_params, operators, data, grid_edit,
+        jax.random.PRNGKey(6), n_steps=500, cfg=dcfg,
+    )
+
+    edited = _render(model, state, grid_edit, cfg, focal, principal, operators=operators,
+                     eye_offset=(0.0, -1.3, 0.0))
+    distilled = _render(model, student, grid_edit, cfg, focal, principal, operators=(),
+                        eye_offset=(0.0, -1.3, 0.0))
+
+    mse = float(np.mean((edited[..., :3] - distilled[..., :3]) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 22.0, psnr

@@ -48,7 +48,7 @@ def trained():
         rng, k1, k2 = jax.random.split(rng, 3)
         if i % 16 == 0 and i > 0:
             grid = grid_update(grid, state.params, k2, full_refresh=False)
-        state, _ = step(state, grid.occupancy, data, k1)
+        state, _ = step(state, grid, data, k1)
     return model, state, grid, cfg, focal, principal
 
 
@@ -59,7 +59,7 @@ def _render(model, state, grid, cfg, focal, principal, operators=(), eye_offset=
         use_grid_early_stop=False, chunk=RES * RES,
     )
     out = renderer.render_frame(
-        model, state.inference_params, grid.occupancy, grid.density,
+        model, state.inference_params, grid,
         (RES, RES), jnp.asarray(xf), jnp.asarray(focal), jnp.asarray(principal),
         opts=opts, operators=tuple(operators),
     )

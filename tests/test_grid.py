@@ -66,6 +66,7 @@ def test_partial_refresh_respects_occupancy(rng):
 
     g = grid_lib.OccupancyGrid.create(1)
     g = grid_lib.update_density_grid(g, density_fn, rng, 1, 4096, full_refresh=False)
-    assert calls[0] == (4096, 3)
+    # density_fn runs under lax.map in fixed-size chunks (padded)
+    assert calls[0][1] == 3
     # some cells got the new density
     assert float(jnp.max(g.density)) == 5.0

@@ -132,7 +132,7 @@ def test_nerf_trains_on_synthetic_sphere():
         rng, k1, k2 = jax.random.split(rng, 3)
         if i % 16 == 0 and i > 0:
             grid = grid_update(grid, state.params, k2, full_refresh=False)
-        state, aux = step(state, grid.occupancy, data, k1)
+        state, aux = step(state, grid, data, k1)
         losses.append(float(aux["loss"]))
 
     tail = float(np.mean(losses[-10:]))

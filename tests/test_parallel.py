@@ -52,13 +52,13 @@ def test_parallel_step_runs_and_stays_replicated():
 
     state = mesh_lib.replicate(mesh, state)
     step = jax.jit(mesh_lib.make_parallel_train_step(model, spec, cfg, mesh))
-    new_state, aux = step(state, grid.occupancy, data, jax.random.PRNGKey(1))
+    new_state, aux = step(state, grid, data, jax.random.PRNGKey(1))
     assert np.isfinite(float(aux["loss"]))
     # params changed and remain consistent across devices (replicated output)
     w0 = new_state.params["density_mlp"]["weights"][0]
     assert not np.allclose(np.asarray(w0), np.asarray(state.params["density_mlp"]["weights"][0]))
     # a second step also runs (state structure round-trips)
-    new_state2, _ = step(new_state, grid.occupancy, data, jax.random.PRNGKey(2))
+    new_state2, _ = step(new_state, grid, data, jax.random.PRNGKey(2))
     assert int(new_state2.step) == 2
 
 
@@ -71,9 +71,9 @@ def test_parallel_matches_serial_loss_scale():
     grid = grid_lib.OccupancyGrid.create(1)
 
     pstep = jax.jit(mesh_lib.make_parallel_train_step(model, spec, cfg, mesh))
-    _, paux = pstep(mesh_lib.replicate(mesh, state), grid.occupancy, data, jax.random.PRNGKey(1))
+    _, paux = pstep(mesh_lib.replicate(mesh, state), grid, data, jax.random.PRNGKey(1))
 
     sstep = jax.jit(nerf_train.make_train_step(model, spec, cfg))
-    _, saux = sstep(state, grid.occupancy, data, jax.random.PRNGKey(1))
+    _, saux = sstep(state, grid, data, jax.random.PRNGKey(1))
     # different RNG folding → not identical, but same order of magnitude
     assert 0.05 < float(paux["loss"]) / max(float(saux["loss"]), 1e-9) < 20.0
