@@ -99,6 +99,94 @@ def rays_for_image(
     return pixel_to_ray(pix, xform, focal, principal, res, distortion, subpixel_jitter)
 
 
+def rodrigues(rotvec: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] axis-angle → [..., 3, 3] rotation matrices (exp map).
+
+    Written on the UNnormalized vector with smooth sin/cos coefficient
+    functions so gradients are finite at θ=0 (where the optimizer starts)."""
+    vx, vy, vz = rotvec[..., 0], rotvec[..., 1], rotvec[..., 2]
+    zero = jnp.zeros_like(vx)
+    K = jnp.stack(
+        [jnp.stack([zero, -vz, vy], -1), jnp.stack([vz, zero, -vx], -1), jnp.stack([-vy, vx, zero], -1)],
+        -2,
+    )
+    t2 = jnp.sum(rotvec * rotvec, axis=-1)[..., None, None]
+    small = t2 < 1e-8
+    t = jnp.sqrt(jnp.where(small, 1.0, t2))  # safe sqrt (grad-finite)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)  # sin θ / θ
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / jnp.where(small, 1.0, t2))
+    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+    return eye + a * K + b * (K @ K)
+
+
+def apply_pose_delta(xform: jnp.ndarray, rot_delta: jnp.ndarray, trans_delta: jnp.ndarray) -> jnp.ndarray:
+    """Refine a [..., 3, 4] camera-to-world by a learnable axis-angle rotation
+    + translation (the autodiff analog of the reference's per-camera
+    extrinsics optimization, testbed_nerf.cu:2341/3833)."""
+    R = rodrigues(rot_delta)
+    rot = R @ xform[..., :3, :3]
+    t = xform[..., :3, 3] + trans_delta
+    return jnp.concatenate([rot, t[..., None]], axis=-1)
+
+
+def sample_training_pixels(
+    rng: jax.Array,
+    n_rays: int,
+    images: jnp.ndarray,  # [N, H, W, 4]
+    error_map: Optional[jnp.ndarray] = None,  # [N, h, w]
+):
+    """Pick (image, pixel) pairs — uniform or error-map-importance
+    (reference T7: 2D error CDF per image). → (img_idx, pix[x,y] float,
+    targets [n,4])."""
+    N, H, W = images.shape[:3]
+    k_img, k_pix, k_err = jax.random.split(rng, 3)
+    img_idx = jax.random.randint(k_img, (n_rays,), 0, N)
+    if error_map is not None:
+        eh, ew = error_map.shape[1:]
+        flat = error_map[img_idx].reshape(n_rays, eh * ew)
+        cell = jax.random.categorical(k_err, jnp.log(flat + 1e-8), axis=-1)
+        cy, cx = cell // ew, cell % ew
+        jit = jax.random.uniform(k_pix, (n_rays, 2))
+        px = jnp.floor((cx + jit[:, 0]) / ew * W)
+        py = jnp.floor((cy + jit[:, 1]) / eh * H)
+        pix = jnp.stack([px, py], -1)
+    else:
+        pix = jnp.floor(jax.random.uniform(k_pix, (n_rays, 2)) * jnp.asarray([W, H], jnp.float32))
+    pix = jnp.clip(pix, 0, jnp.asarray([W - 1, H - 1], jnp.float32))
+    ipix = pix.astype(jnp.int32)
+    targets = images[img_idx, ipix[:, 1], ipix[:, 0]]
+    return img_idx, pix, targets
+
+
+def rays_from_pixels(
+    img_idx: jnp.ndarray,
+    pix: jnp.ndarray,
+    xforms: jnp.ndarray,
+    focals: jnp.ndarray,
+    principals: jnp.ndarray,
+    resolution: jnp.ndarray,  # [2] (W, H)
+    distortions: Optional[jnp.ndarray] = None,
+    camera_params: Optional[dict] = None,
+) -> RayBundle:
+    """Differentiable ray construction, optionally through learnable pose
+    deltas {'rot':[N,3],'trans':[N,3]} — gradients flow from sample
+    positions back to the per-image camera parameters."""
+    xf = xforms[img_idx]
+    if camera_params is not None:
+        xf = apply_pose_delta(xf, camera_params["rot"][img_idx], camera_params["trans"][img_idx])
+    dist = distortions[img_idx] if distortions is not None else None
+
+    if dist is not None:
+        o, d = jax.vmap(
+            lambda p, x, f, pp, dd: pixel_to_ray(p, x, f, pp, resolution, dd)
+        )(pix, xf, focals[img_idx], principals[img_idx], dist)
+    else:
+        o, d = jax.vmap(
+            lambda p, x, f, pp: pixel_to_ray(p, x, f, pp, resolution)
+        )(pix, xf, focals[img_idx], principals[img_idx])
+    return RayBundle(o, d)
+
+
 def sample_training_rays(
     rng: jax.Array,
     n_rays: int,

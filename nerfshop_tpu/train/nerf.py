@@ -68,6 +68,15 @@ class NerfTrainConfig:
     aabb_scale: int = 1
     n_cascades: int = 1
     loss_type: str = "Huber"
+    #: per-image pose/exposure refinement (reference T6: hand-derived camera
+    #: gradient kernel + host Adam, testbed_nerf.cu:2341/3833 — here the pose
+    #: deltas are just parameters and autodiff does the rest)
+    optimize_extrinsics: bool = False
+    optimize_exposure: bool = False
+    #: 2D error-map importance sampling (reference T7, testbed_nerf.cu:2620)
+    use_error_map: bool = False
+    error_map_resolution: int = 32
+    error_map_decay: float = 0.97
 
     @staticmethod
     def for_aabb_scale(aabb_scale: int, **kw) -> "NerfTrainConfig":
@@ -104,29 +113,56 @@ def nerf_loss_fn(
     loss = jnp.mean(per_ray)
     aux = {
         "loss": loss,
+        "per_ray_loss": jax.lax.stop_gradient(per_ray),
         "measured_samples": jnp.sum(samples.n),
         "mean_opacity": jnp.mean(res.opacity),
     }
     return loss, aux
 
 
+def create_camera_params(n_images: int) -> dict:
+    """Learnable per-image pose/exposure refinements (reference T6)."""
+    return {
+        "rot": jnp.zeros((n_images, 3), jnp.float32),
+        "trans": jnp.zeros((n_images, 3), jnp.float32),
+        "log_exposure": jnp.zeros((n_images,), jnp.float32),
+    }
+
+
+def create_error_map(n_images: int, resolution: int = 32) -> jnp.ndarray:
+    return jnp.ones((n_images, resolution, resolution), jnp.float32)
+
+
 def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int] = None):
-    """Returns (params, occupancy, data, rng) → (grads, aux): the sampling +
-    forward + loss + backward slice of one step, without the optimizer
-    update — the unit that parallel layers wrap with a gradient psum."""
+    """Returns (params, grid, data, rng[, error_map]) → (grads, aux): the
+    sampling + forward + loss + backward slice of one step, without the
+    optimizer update — the unit that parallel layers wrap with a psum.
+
+    With cfg.optimize_extrinsics, ``params['camera']`` pose deltas receive
+    gradients through the differentiable ray construction (autodiff replaces
+    the reference's hand-derived camera-gradient kernel, T6)."""
     loss_fn = loss_lib.LOSSES[cfg.loss_type]
     aabb = coords.BoundingBox.from_aabb_scale(cfg.aabb_scale)
     n_rays = n_rays or cfg.n_rays_per_batch
 
-    def grads_of(params, grid: grid_lib.OccupancyGrid, data: DeviceDataset, rng: jax.Array):
+    def grads_of(params, grid: grid_lib.OccupancyGrid, data: DeviceDataset, rng: jax.Array, error_map=None):
         k_rays, k_jit, k_bg = jax.random.split(rng, 3)
-        bundle, targets, _ = rays_lib.sample_training_rays(
-            k_rays, n_rays, data.images, data.xforms,
-            data.focals, data.principals, data.distortions,
+        N, H, W = data.images.shape[:3]
+        res = jnp.asarray([W, H], jnp.float32)
+        img_idx, pix, targets = rays_lib.sample_training_pixels(
+            k_rays, n_rays, data.images, error_map if cfg.use_error_map else None
+        )
+        cam0 = params.get("camera") if cfg.optimize_extrinsics else None
+
+        # rays for MARCHING: current pose, gradients stopped (sample t's are
+        # treated as fixed given the ray — same as the reference)
+        bundle0 = rays_lib.rays_from_pixels(
+            img_idx, pix, data.xforms, data.focals, data.principals, res,
+            data.distortions, jax.lax.stop_gradient(cam0) if cam0 else None,
         )
         t_jitter = jax.random.uniform(k_jit, (n_rays,))
         samples = march.march_rays_skip(
-            bundle.origins, bundle.directions, grid.skip,
+            bundle0.origins, bundle0.directions, grid.skip,
             aabb.min, aabb.max, jnp.asarray(cfg.cone_angle),
             t_jitter=t_jitter, t_start_min=cfg.near_distance,
             k_samples=cfg.k_samples,
@@ -136,17 +172,41 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
             if cfg.random_bg
             else jnp.zeros((n_rays, 3))
         )
-        grad_fn = jax.value_and_grad(
-            lambda p: nerf_loss_fn(
+
+        def loss_of(p):
+            cam = p.get("camera") if cfg.optimize_extrinsics else None
+            if cam is not None:
+                bundle = rays_lib.rays_from_pixels(
+                    img_idx, pix, data.xforms, data.focals, data.principals,
+                    res, data.distortions, cam,
+                )
+            else:
+                bundle = bundle0
+            tgt = targets
+            if cfg.optimize_exposure and "camera" in p:
+                scale = jnp.exp(p["camera"]["log_exposure"][img_idx])[:, None]
+                tgt = jnp.concatenate([targets[:, :3] * scale, targets[:, 3:]], -1)
+            return nerf_loss_fn(
                 p, model, samples, bundle.origins, bundle.directions,
-                targets, bg, aabb, loss_fn, cfg.min_transmittance,
-            ),
-            has_aux=True,
-        )
-        (_, aux), grads = grad_fn(params)
+                tgt, bg, aabb, loss_fn, cfg.min_transmittance,
+            )
+
+        (_, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        aux["img_idx"] = img_idx
+        aux["pix"] = pix
         return grads, aux
 
     return grads_of
+
+
+def update_error_map(error_map: jnp.ndarray, img_idx, pix, per_ray_loss, images_shape, decay: float = 0.97) -> jnp.ndarray:
+    """Deposit per-ray loss into the per-image error maps (reference:
+    error-map splat in compute_loss + CDF rebuild, testbed_nerf.cu:2620)."""
+    N, H, W = images_shape[:3]
+    eh, ew = error_map.shape[1:]
+    ex = jnp.clip((pix[:, 0] / W * ew).astype(jnp.int32), 0, ew - 1)
+    ey = jnp.clip((pix[:, 1] / H * eh).astype(jnp.int32), 0, eh - 1)
+    return (error_map * decay).at[img_idx, ey, ex].add(per_ray_loss)
 
 
 def make_train_step(
@@ -154,11 +214,28 @@ def make_train_step(
     spec: optim.OptimizerSpec,
     cfg: NerfTrainConfig,
 ):
-    """Returns jittable (state, grid, data, rng) → (state, aux)."""
+    """Returns jittable (state, grid, data, rng) → (state, aux) — or, with
+    cfg.use_error_map, (state, grid, data, rng, error_map) →
+    (state, aux, error_map)."""
     grads_of = make_grad_fn(model, cfg)
+
+    if cfg.use_error_map:
+
+        def step_em(state: optim.TrainState, grid: grid_lib.OccupancyGrid, data: DeviceDataset, rng: jax.Array, error_map: jnp.ndarray):
+            grads, aux = grads_of(state.params, grid, data, rng, error_map)
+            new_state = optim.apply_gradients(state, grads, spec)
+            new_em = update_error_map(
+                error_map, aux.pop("img_idx"), aux.pop("pix"), aux["per_ray_loss"],
+                data.images.shape, cfg.error_map_decay,
+            )
+            return new_state, aux, new_em
+
+        return step_em
 
     def step(state: optim.TrainState, grid: grid_lib.OccupancyGrid, data: DeviceDataset, rng: jax.Array):
         grads, aux = grads_of(state.params, grid, data, rng)
+        aux.pop("img_idx", None)
+        aux.pop("pix", None)
         new_state = optim.apply_gradients(state, grads, spec)
         return new_state, aux
 
