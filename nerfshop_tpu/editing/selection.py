@@ -123,8 +123,25 @@ class RegionGrowing:
         return tuple(c)
 
     def grow(self, n_steps: int = 10000) -> int:
-        """BFS accept-if-dense; returns number of accepted cells."""
+        """BFS accept-if-dense; returns number of accepted cells.
+        Native C++ flood fill when available, python BFS otherwise."""
         dens = self.density[self.growing_level]
+
+        from nerfshop_tpu import native
+
+        if self.queue and native.get_lib() is not None:
+            seeds = np.asarray(
+                [(x * R + y) * R + z for (x, y, z) in self.queue], np.int32
+            )
+            sel_u8 = self.selection.astype(np.uint8)
+            grown_n = native.region_grow(dens, sel_u8, seeds, self.density_threshold, n_steps)
+            if grown_n is not None:
+                self.selection = sel_u8.astype(bool)
+                self.queue = []
+                if self._touches_boundary() and self.growing_level + 1 < self.density.shape[0]:
+                    self.upscale()
+                return grown_n
+
         grown = 0
         steps = 0
         while self.queue and steps < n_steps:

@@ -179,11 +179,21 @@ class TetMesh:
     # --------------------------------------------------------------- LUT build
 
     def _voxelize(self, verts: np.ndarray, res: int, max_t: int):
-        """Conservative voxelization (tet bbox overlap) into a local grid."""
+        """Conservative voxelization (tet bbox overlap) into a local grid.
+        Uses the native C++ threaded kernel when available (the reference
+        voxelizes with 32 std::async tasks, tet_mesh.cu:266-339); falls back
+        to the pure-numpy loop."""
         tv = verts[self.tets]  # [Nt, 4, 3]
         lo = tv.min((0, 1)) - 1e-4
         hi = tv.max((0, 1)) + 1e-4
         inv_cell = res / np.maximum(hi - lo, 1e-9)
+
+        from nerfshop_tpu import native
+
+        out = native.voxelize_tets(verts, self.tets, res, lo, inv_cell, max_t)
+        if out is not None:
+            cells, max_seen = out
+            return lo.astype(np.float32), inv_cell.astype(np.float32), cells, max_seen
 
         cell_lists: list = [[] for _ in range(res**3)]
         t_lo = np.clip(((tv.min(1) - lo) * inv_cell).astype(int), 0, res - 1)
