@@ -545,6 +545,62 @@ class Testbed:
     def _edit_metadata(self) -> dict:
         return {"mode": self.mode.value}
 
+    # ---------------------------------------------------------------- meshing
+
+    def get_density_on_grid(self, resolution: int = 256, aabb=None) -> np.ndarray:
+        """Densely sample the density field (reference: get_density_on_grid
+        testbed_nerf.cu:4538). → [res, res, res] float32."""
+        import jax
+        import jax.numpy as jnp
+
+        from nerfshop_tpu.ops import coords
+
+        assert self.mode == TestbedMode.Nerf and self._model is not None
+        aabb = aabb or coords.BoundingBox.unit()
+        g = (jnp.arange(resolution) + 0.5) / resolution
+        xs, ys, zs = jnp.meshgrid(g, g, g, indexing="ij")
+        pos = aabb.min + jnp.stack([xs, ys, zs], -1).reshape(-1, 3) * aabb.diag
+        full = coords.BoundingBox.from_aabb_scale(self._train_cfg.aabb_scale)
+        params = self._inference_params()
+
+        density_fn = jax.jit(
+            lambda p: self._model.density(params, jnp.clip(coords.warp_position(p, full), 0, 1))
+        )
+        chunk = 1 << 18
+        outs = [density_fn(pos[i : i + chunk]) for i in range(0, pos.shape[0], chunk)]
+        return np.asarray(jnp.concatenate(outs)).reshape(resolution, resolution, resolution)
+
+    def compute_marching_cubes_mesh(self, resolution: int = 256, density_threshold: float = 2.5):
+        """Iso-surface of the density field with vertex colors from the
+        radiance field (reference: marching cubes + get_rgba_on_grid)."""
+        import jax.numpy as jnp
+
+        from nerfshop_tpu.geometry import isosurface
+        from nerfshop_tpu.ops import coords
+
+        field = self.get_density_on_grid(resolution)
+        mesh = isosurface.marching_tets(
+            field, iso=density_threshold,
+            origin=(0.5 / resolution,) * 3, spacing=(1.0 / resolution,) * 3,
+        )
+        mesh = isosurface.orient_consistently(mesh)
+        if mesh.n_vertices:
+            full = coords.BoundingBox.from_aabb_scale(self._train_cfg.aabb_scale)
+            normals = mesh.vertex_normals()
+            pos_w = jnp.clip(coords.warp_position(jnp.asarray(mesh.vertices), full), 0, 1)
+            dir_w = (jnp.asarray(-normals) + 1.0) * 0.5
+            rgb, _ = self._model(self._inference_params(), pos_w, dir_w)
+            mesh.colors = np.clip(np.asarray(rgb), 0, 1)
+        return mesh
+
+    def compute_and_save_marching_cubes_mesh(
+        self, filename: str, resolution: int = 256, density_threshold: float = 2.5
+    ) -> None:
+        from nerfshop_tpu.geometry import mesh_io
+
+        mesh = self.compute_marching_cubes_mesh(resolution, density_threshold)
+        mesh_io.save_mesh(filename, mesh)
+
     # ------------------------------------------------------------------ metrics
 
     def compute_image_mse(self, quantize: bool = False) -> float:
