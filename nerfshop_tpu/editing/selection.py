@@ -59,8 +59,8 @@ def project_selection_rays(
 
     origins = jnp.asarray(origins, jnp.float32)
     directions = jnp.asarray(directions, jnp.float32)
-    samples = march.march_rays_skip(
-        origins, directions, grid.skip, aabb.min, aabb.max,
+    samples = march.march_rays(
+        origins, directions, grid.occupancy, aabb.min, aabb.max,
         jnp.asarray(cone_angle), k_samples=k_samples,
         density_grid=grid.density, use_grid_early_stop=True,
     )

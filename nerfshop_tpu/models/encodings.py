@@ -59,6 +59,13 @@ class GridEncoding(Encoding):
     per_level_scale: float = 2.0
     hash_type: str = "hash"  # "hash" (HashGrid) or "dense" (DenseGrid)
     interpolation: str = "linear"
+    #: gather x-adjacent corner PAIRS as single rows of a doubled table —
+    #: halves the gather count, the dominant cost on TPU (random row-gathers
+    #: run at ~10⁸/s via the DMA engine regardless of row width). The hash
+    #: places x additively, (h(y,z) + x) mod (size−1), so corner x+1 lives at
+    #: slot idx+1; dense levels are x-fastest already. Math is exact vs. the
+    #: per-corner formulation (boundary x-clamps fold into the lerp weight).
+    paired: bool = True
 
     def __post_init__(self):
         assert self.n_input_dims in (2, 3), "grid encoding supports 2D/3D"
@@ -143,10 +150,77 @@ class GridEncoding(Encoding):
         global_idx = local.astype(jnp.int32) + jnp.asarray(self.level_offsets[:-1], jnp.int32)[None, :, None]
         return global_idx, w
 
+    def _paired_level_indices(self, x: jnp.ndarray, l: int):
+        """x [N, D] → per-level (pair-row indices [N, C], yz weights [N, C],
+        x-fraction [N]) for level ``l``; C = 2^(D−1) yz-corner combos.
+
+        Each gathered pair-row holds features of corners (x₀, …) and
+        (x₀+1, …): dense levels are x-fastest so adjacency is free; hash
+        levels place x additively mod (size−1) so idx+1 stays in-level."""
+        D = self.n_input_dims
+        res = self.level_res[l]
+        size = self.level_sizes[l]
+        p = x * jnp.asarray(self.level_scales[l], x.dtype) + 0.5  # [N, D]
+        p0f = jnp.floor(p)
+        frac = p - p0f
+        p0 = jnp.clip(p0f.astype(jnp.int32), 0, res - 1)
+        # fold the +x clamp into the lerp weight: when x₀ == res−1 the
+        # (clamped) corner x₁ aliases x₀, so give x₀ the full weight
+        fx = jnp.where(p0[:, 0] == res - 1, 0.0, frac[:, 0])  # [N]
+
+        n_yz = 1 << (D - 1)
+        offs = np.stack(
+            [[(c >> d) & 1 for d in range(D - 1)] for c in range(n_yz)]
+        ).astype(np.int32)  # [C, D-1]
+        corner_yz = jnp.clip(p0[:, None, 1:] + jnp.asarray(offs)[None], 0, res - 1)  # [N,C,D-1]
+        w_yz = jnp.where(
+            jnp.asarray(offs)[None] == 1, frac[:, None, 1:], 1.0 - frac[:, None, 1:]
+        ).prod(-1)  # [N, C]
+
+        cu = corner_yz.astype(jnp.uint32)
+        x0u = p0[:, 0].astype(jnp.uint32)[:, None]  # [N, 1]
+        if self.level_dense[l]:
+            if D == 3:
+                local = x0u + np.uint32(res) * (cu[..., 0] + np.uint32(res) * cu[..., 1])
+            else:
+                local = x0u + np.uint32(res) * cu[..., 0]
+            local = local % np.uint32(size)
+        else:
+            hashed = cu[..., 0] * jnp.uint32(_HASH_PRIMES[1])
+            for d in range(1, D - 1):
+                hashed = hashed ^ (cu[..., d] * jnp.uint32(_HASH_PRIMES[d + 1]))
+            # additive x placement; mod (size−1) keeps the (i, i+1) pair in-level
+            m = np.uint32(max(size - 1, 1))
+            local = (hashed % m + x0u) % m
+        return local.astype(jnp.int32) + self.level_offsets[l], w_yz, fx
+
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [N, D] in [0,1] → [N, L·F]."""
+        """x: [N, D] in [0,1] → [N, L·F].
+
+        The paired path runs per level / per yz-corner with 2D arrays only:
+        XLA tile-pads >2D arrays with small minor dims by up to 64× (the
+        round-1 render OOM), while 2D gathers get a clean flipped layout."""
+        table = params["table"]
+        F = self.n_features_per_level
+        if self.paired:
+            # doubled table: row i = (canon[i], canon[i+1]) → one row-gather
+            # fetches both x-corners (roll is dense + autodiff-transparent)
+            pair = jnp.concatenate([table, jnp.roll(table, -1, axis=0)], axis=-1)
+            outs = []
+            n_yz = 1 << (self.n_input_dims - 1)
+            for l in range(self.n_levels):
+                idx, w_yz, fx = self._paired_level_indices(x, l)
+                fx = fx.astype(table.dtype)[:, None]
+                acc = None
+                for c in range(n_yz):
+                    feats = jnp.take(pair, idx[:, c], axis=0)  # [N, 2F]
+                    lerp = feats[:, :F] * (1.0 - fx) + feats[:, F:] * fx
+                    term = lerp * w_yz[:, c : c + 1].astype(table.dtype)
+                    acc = term if acc is None else acc + term
+                outs.append(acc)
+            return jnp.concatenate(outs, axis=-1)
         idx, w = self._corner_indices(x)  # [N, L, C], [N, L, C]
-        feats = jnp.take(params["table"], idx, axis=0)  # [N, L, C, F]
+        feats = jnp.take(table, idx, axis=0)  # [N, L, C, F]
         out = jnp.einsum("nlc,nlcf->nlf", w.astype(feats.dtype), feats)
         return out.reshape(x.shape[0], self.n_output_dims)
 

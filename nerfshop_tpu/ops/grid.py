@@ -41,11 +41,6 @@ class OccupancyGrid(NamedTuple):
     density: jnp.ndarray  # [C, R, R, R] float32, EMA'd density (post-activation)
     occupancy: jnp.ndarray  # [C, R, R, R] bool
     mean_density: jnp.ndarray  # [] float32
-    #: chebyshev distance (in cells, capped) to the nearest occupied cell;
-    #: 0 = occupied. Lets the march jump (d−1) cells per lookup — the
-    #: TPU answer to per-step DDA skipping (random HBM gathers are
-    #: tile-granular, so fewer lookups beat cheaper lookups).
-    skip: jnp.ndarray = None  # [C, R, R, R] int32
 
     @property
     def n_cascades(self) -> int:
@@ -57,31 +52,7 @@ class OccupancyGrid(NamedTuple):
             density=jnp.zeros((n_cascades, R, R, R), jnp.float32),
             occupancy=jnp.ones((n_cascades, R, R, R), jnp.bool_),
             mean_density=jnp.zeros((), jnp.float32),
-            skip=jnp.zeros((n_cascades, R, R, R), jnp.int32),
         )
-
-
-MAX_SKIP = 15
-
-
-def skip_field_from_occupancy(occ: jnp.ndarray, max_skip: int = MAX_SKIP) -> jnp.ndarray:
-    """[C,R,R,R] bool → capped chebyshev distance-to-occupied [C,R,R,R] int32.
-
-    Iterative separable 3-tap min along x/y/z grows a chebyshev ball one
-    cell per iteration — max_skip cheap dense passes on the VPU."""
-    d = jnp.where(occ, 0, max_skip).astype(jnp.int32)
-
-    def one_iter(d, _):
-        e = d
-        for axis in (1, 2, 3):
-            lo = jnp.roll(e, 1, axis=axis)
-            hi = jnp.roll(e, -1, axis=axis)
-            # roll wraps; edges are conservative anyway (clamped by +1 below)
-            e = jnp.minimum(e, jnp.minimum(lo, hi))
-        return jnp.minimum(d, e + 1), None
-
-    d, _ = jax.lax.scan(one_iter, d, None, length=max_skip)
-    return d
 
 
 def cell_world_positions(cell_idx: jnp.ndarray, mip: jnp.ndarray, jitter: jnp.ndarray) -> jnp.ndarray:
@@ -92,24 +63,27 @@ def cell_world_positions(cell_idx: jnp.ndarray, mip: jnp.ndarray, jitter: jnp.nd
     return (p - 0.5) * scale + 0.5
 
 
-def splat_max(density: jnp.ndarray, cells: jnp.ndarray, mips: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Scatter-max ``values`` into [C,R,R,R] at (mip, ix, iy, iz); invalid
-    entries are dropped (scatter with out-of-bounds index)."""
-    c = jnp.where(valid, mips, density.shape[0])  # OOB mip → dropped
-    return density.at[c, cells[..., 0], cells[..., 1], cells[..., 2]].max(
-        values, mode="drop"
-    )
-
-
-def ema_update(density: jnp.ndarray, splatted: jnp.ndarray, decay: float = DENSITY_GRID_DECAY) -> jnp.ndarray:
+def ema_update(density: jnp.ndarray, fresh: jnp.ndarray, sampled: jnp.ndarray, decay: float = DENSITY_GRID_DECAY) -> jnp.ndarray:
     """EMA with max-splat semantics: cells that received a fresh sample take
-    max(old*decay, new); untouched cells keep their value until resampled.
+    max(old*decay, new); untouched cells keep their value until resampled
+    (reference: ema_grid_samples_nerf, testbed_nerf.cu:483)."""
+    return jnp.where(sampled, jnp.maximum(density * decay, fresh), density)
 
-    The reference decays only sampled cells (the splat buffer starts as a
-    copy and ema takes max(grid*decay, tmp)); we mirror that by decaying
-    exactly where a sample landed (splatted >= 0 marker)."""
-    sampled = splatted >= 0.0
-    return jnp.where(sampled, jnp.maximum(density * decay, splatted), density)
+
+def _slab_positions(n_cascades_active: int, z_lo: jnp.ndarray, z_size: int, rng: jax.Array) -> jnp.ndarray:
+    """Jittered world positions of every cell in the z-slab
+    [z_lo, z_lo+z_size) of every active cascade → [C·R·R·z_size, 3]."""
+    ix, iy, iz = jnp.meshgrid(
+        jnp.arange(R, dtype=jnp.int32),
+        jnp.arange(R, dtype=jnp.int32),
+        jnp.arange(z_size, dtype=jnp.int32),
+        indexing="ij",
+    )
+    cells_one = jnp.stack([ix, iy, iz + z_lo], -1).reshape(-1, 3)  # [R·R·z, 3]
+    cells = jnp.tile(cells_one, (n_cascades_active, 1))
+    mips = jnp.repeat(jnp.arange(n_cascades_active, dtype=jnp.int32), R * R * z_size)
+    jitter = jax.random.uniform(rng, cells.shape)
+    return cell_world_positions(cells, mips, jitter)
 
 
 def update_density_grid(
@@ -117,40 +91,34 @@ def update_density_grid(
     density_fn: Callable[[jnp.ndarray], jnp.ndarray],
     rng: jax.Array,
     n_cascades_active: int,
-    n_samples_per_cascade: int,
-    full_refresh: bool,
+    n_samples_per_cascade: int = 0,  # kept for API compat; slab size derives from it
+    full_refresh: bool = False,
 ) -> OccupancyGrid:
-    """One density-grid maintenance step.
+    """One density-grid maintenance step — scatter-free TPU redesign.
+
+    The reference splats randomly-sampled cells with atomics
+    (splat_grid_samples_nerf_max_nearest_neighbor, testbed_nerf.cu:429);
+    random scatters are a compile-time and runtime pathology on TPU, so
+    instead each update refreshes a contiguous, meshgrid-ordered region and
+    the fresh densities RESHAPE directly into the grid:
+
+    * ``full_refresh`` (warm-up): every cell of every active cascade;
+    * steady state: a rolling z-slab of thickness R/4 per cascade, slab
+      offset chosen by rng — every cell revisits once per ~4 updates
+      (matching the reference's ¼-of-cells-per-update cadence).
 
     ``density_fn`` maps WORLD (ngp-convention) positions [N,3] → activated
-    density [N]; callers compose ``warp_position`` + network inside it.
-    ``full_refresh`` (warm-up, reference: first 256 steps) samples every cell;
-    otherwise a uniform quarter plus an occupied-biased quarter.
+    density [N]; callers compose warp_position + network inside it.
     """
     C = grid.n_cascades
-    k_cells, k_jit, k_sel = jax.random.split(rng, 3)
-
+    k_slab, k_jit = jax.random.split(rng)
+    z_size = R if full_refresh else R // 4
     if full_refresh:
-        ix, iy, iz = jnp.meshgrid(*(jnp.arange(R, dtype=jnp.int32),) * 3, indexing="ij")
-        cells_one = jnp.stack([ix, iy, iz], -1).reshape(-1, 3)  # [R^3, 3]
-        cells = jnp.tile(cells_one, (n_cascades_active, 1))
-        mips = jnp.repeat(jnp.arange(n_cascades_active, dtype=jnp.int32), R**3)
-        valid = jnp.ones(cells.shape[0], jnp.bool_)
+        z_lo = jnp.zeros((), jnp.int32)
     else:
-        n = n_samples_per_cascade * n_cascades_active
-        half = n // 2
-        cells = jax.random.randint(k_cells, (n, 3), 0, R, jnp.int32)
-        mips = jax.random.randint(k_sel, (n,), 0, n_cascades_active, jnp.int32)
-        occ_here = grid.occupancy[mips, cells[:, 0], cells[:, 1], cells[:, 2]]
-        # first half: unconditional uniform refresh; second half: only
-        # occupied cells survive — an occupancy-biased refresh that plays the
-        # role of the reference's importance-sampled half.
-        valid = jnp.concatenate(
-            [jnp.ones(half, jnp.bool_), occ_here[half:]], axis=0
-        )
+        z_lo = jax.random.randint(k_slab, (), 0, R // z_size) * z_size
 
-    jitter = jax.random.uniform(k_jit, cells.shape)
-    pos = cell_world_positions(cells, mips, jitter)
+    pos = _slab_positions(n_cascades_active, z_lo, z_size, k_jit)
 
     # evaluate the density MLP in bounded chunks (a full refresh is C·128³
     # positions — one giant call would blow HBM on the hash-encoding
@@ -160,10 +128,16 @@ def update_density_grid(
     n_pad = (-n) % chunk
     pos_p = jnp.concatenate([pos, jnp.zeros((n_pad, 3), pos.dtype)]) if n_pad else pos
     sigma = jax.lax.map(density_fn, pos_p.reshape(-1, chunk, 3)).reshape(-1)[:n]
+    fresh = sigma.astype(jnp.float32).reshape(n_cascades_active, R, R, z_size)
 
-    splatted = jnp.full_like(grid.density, -1.0)
-    splatted = splat_max(splatted, cells, mips, sigma.astype(jnp.float32), valid)
-    new_density = ema_update(grid.density, splatted)
+    # dense in-place slab update (dynamic_update_slice — no scatter)
+    old_slab = jax.lax.dynamic_slice(
+        grid.density,
+        (0, 0, 0, z_lo),
+        (n_cascades_active, R, R, z_size),
+    )
+    new_slab = jnp.maximum(old_slab * DENSITY_GRID_DECAY, fresh)
+    new_density = jax.lax.dynamic_update_slice(grid.density, new_slab, (0, 0, 0, z_lo))
     return grid._replace(density=new_density)
 
 
@@ -185,11 +159,7 @@ def update_bitfield(grid: OccupancyGrid) -> OccupancyGrid:
         merged = occ[k].at[lo:hi, lo:hi, lo:hi].max(pooled)
         levels.append(merged)
     occupancy = jnp.stack(levels)
-    return grid._replace(
-        occupancy=occupancy,
-        mean_density=mean,
-        skip=skip_field_from_occupancy(occupancy),
-    )
+    return grid._replace(occupancy=occupancy, mean_density=mean)
 
 
 def occupancy_at(grid: OccupancyGrid, pos: jnp.ndarray, mip: jnp.ndarray) -> jnp.ndarray:

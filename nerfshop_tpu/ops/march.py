@@ -5,26 +5,35 @@ TPU-native redesign of the reference's ragged CUDA march
 ``generate_next_nerf_network_inputs``, src/common_nerf.cu
 ``advance_to_next_voxel``). The CUDA code walks each ray sequentially with
 per-thread loops, DDA voxel skipping, atomic sample budgets and host-synced
-compaction. None of that maps to the TPU: gathers over the whole candidate
-set are nearly free (measured ~0.06 ms for 8M lookups) while sequential
-``while_loop`` iterations with scatters cost ~1 ms each. So the march is
-ONE SHOT:
+compaction. None of that maps to the TPU: sequential ``scan``/``while_loop``
+iterations have a ~50-100 µs floor each on real chips, so ANY per-step
+formulation is dead on arrival. The march here is ONE SHOT — every op is a
+dense [R, M] tensor op:
 
 1. **Closed-form step ladder.** The reference's ``t += clamp(t·cone, dt_min,
    dt_max)`` recurrence has an exact closed form in three segments (linear
    at dt_min → geometric ×(1+cone) → linear at dt_max); candidate positions
-   ``T[r, m]`` for m = 0..M−1 are computed directly, no loop.
+   ``T[r, m]`` for m = 0..M−1 are computed directly, no loop. M = 1024
+   candidates at the base step √3/1024 span the full unit-AABB diagonal
+   (the reference's 1024-steps/ray budget, common_nerf.h:25) and the
+   geometric segment covers larger aabb_scales.
 2. **One occupancy gather** over all [R, M] candidates (cascade/mip chosen
    per candidate exactly like mip_from_dt).
 3. **Transmittance proxy** (optional): a second gather of the density grid
    gives a conservative optical-depth cumsum used for early termination at
    render time (the analog of the trace loop's T < ε break).
-4. **Cumsum compaction**: ranks = cumsum(occupied); the first K occupied
-   candidates per ray scatter (one scatter) into the fixed [R, K] slab.
+4. **Rank-based compaction** into the fixed [R, K] slab, scatter-free:
 
-Sampling semantics match the reference: samples are the ladder points whose
-cascade cell is occupied, capped at K per ray, jittered start, near-plane
-clamp. Empty space costs one gathered bit instead of a DDA loop.
+   * ``selection="first"`` (rendering): the first K occupied candidates in
+     march order, via ``top_k`` over a monotone score.
+   * ``selection="spread"`` (training): K *stratified* picks over ALL
+     occupied candidates of the ray, each carrying ``dt × stride`` so the
+     optical-depth integral stays calibrated. When a ray has ≤ K occupied
+     candidates this reduces exactly to "first". This removes the
+     truncation bias of a first-K budget under a dense warm-up grid (every
+     cell occupied → first-K would only ever sample a thin shell at the
+     AABB entry; the reference escapes via its 1024-step loop, we escape
+     via stratification).
 """
 
 from __future__ import annotations
@@ -59,6 +68,14 @@ class SampleBatch(NamedTuple):
     @property
     def k(self) -> int:
         return self.t.shape[1]
+
+
+class MarchAux(NamedTuple):
+    """Extra per-ray march outputs for multi-window rendering."""
+
+    t_last: jnp.ndarray  # [R] t just past the last emitted sample
+    saturated: jnp.ndarray  # [R] bool — grid early-stop fired (proxy opaque)
+    exhausted: jnp.ndarray  # [R] bool — more occupied candidates than K
 
 
 def step_ladder(t0: jnp.ndarray, m: jnp.ndarray, cone_angle) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -97,9 +114,56 @@ def step_ladder(t0: jnp.ndarray, m: jnp.ndarray, cone_angle) -> Tuple[jnp.ndarra
     return T, dt
 
 
+def _candidate_cells(origins, directions, T, dt, n_cascades):
+    """Ladder positions → flat cascaded-grid indices [R, M] (mip_from_dt +
+    cascaded_grid_idx_at, src/common_nerf.cu)."""
+    Rg = GRID_RESOLUTION
+    px = origins[:, 0:1] + T * directions[:, 0:1]
+    py = origins[:, 1:2] + T * directions[:, 1:2]
+    pz = origins[:, 2:3] + T * directions[:, 2:3]
+
+    # mip_from_dt: cascade from position extent, coarsened by step width
+    maxval = jnp.maximum(jnp.maximum(jnp.abs(px - 0.5), jnp.abs(py - 0.5)), jnp.abs(pz - 0.5))
+    mip_pos = jnp.clip(
+        jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-12))).astype(jnp.int32) + 2, 0, n_cascades - 1
+    )
+    d_scaled = dt * (2 * Rg)
+    expo = jnp.floor(jnp.log2(jnp.maximum(d_scaled, 1e-12))).astype(jnp.int32) + 1
+    mip = jnp.where(
+        d_scaled < 1.0, mip_pos, jnp.clip(jnp.maximum(expo, mip_pos), 0, n_cascades - 1)
+    )
+
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+
+    def cell_of(p):
+        q = (p - 0.5) * mip_scale + 0.5
+        return jnp.clip(jnp.floor(q * Rg).astype(jnp.int32), 0, Rg - 1)
+
+    ix, iy, iz = cell_of(px), cell_of(py), cell_of(pz)
+    flat = ((mip * Rg + ix) * Rg + iy) * Rg + iz  # [R, M]
+    return flat
+
+
+def _rank_select(ranks: jnp.ndarray, targets: jnp.ndarray, m_bits: int) -> jnp.ndarray:
+    """Vectorized per-row binary search: for each target rank r (int32,
+    ≥1), the smallest candidate index m with ranks[row, m] ≥ r.
+    ranks [R, M] is a monotone inclusive cumsum; targets [R, K]."""
+    R, M = ranks.shape
+    K = targets.shape[1]
+    lo = jnp.zeros((R, K), jnp.int32)
+    hi = jnp.full((R, K), M - 1, jnp.int32)
+    for _ in range(m_bits):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(ranks, mid, axis=1)
+        go_right = v < targets
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return jnp.minimum(lo, M - 1)
+
+
 @partial(
     jax.jit,
-    static_argnames=("k_samples", "n_candidates", "use_grid_early_stop"),
+    static_argnames=("k_samples", "n_candidates", "use_grid_early_stop", "selection", "with_aux"),
 )
 def march_rays(
     origins: jnp.ndarray,  # [R, 3] world
@@ -110,20 +174,27 @@ def march_rays(
     cone_angle: jnp.ndarray,  # []
     t_jitter: Optional[jnp.ndarray] = None,  # [R] in [0,1) or None
     t_start_min: float = 0.0,
+    t_start: Optional[jnp.ndarray] = None,  # [R] per-ray start override
     k_samples: int = 32,
     n_candidates: int = 1024,
     density_grid: Optional[jnp.ndarray] = None,
     use_grid_early_stop: bool = False,
-    grid_stop_tau: float = 12.0,
-) -> SampleBatch:
+    grid_stop_tau: float = 8.0,
+    selection: str = "first",  # "first" (render) | "spread" (training)
+    spread_rng: Optional[jnp.ndarray] = None,  # [R, K] u(0,1) stratum jitter
+    with_aux: bool = False,
+):
     R = origins.shape[0]
     K = k_samples
     M = n_candidates
+    m_bits = max(1, (M - 1).bit_length())
     n_cascades = occupancy.shape[0]
     aabb = BoundingBox(aabb_lo, aabb_hi)
 
     tmin, tmax = aabb.ray_intersect(origins, directions)
     tmin = jnp.maximum(tmin, t_start_min)
+    if t_start is not None:
+        tmin = jnp.maximum(tmin, t_start)
     hit = tmin < tmax
     t0 = jnp.where(hit, tmin, tmax)
     if t_jitter is not None:
@@ -132,163 +203,93 @@ def march_rays(
     T, dt = step_ladder(t0, jnp.arange(M, dtype=jnp.int32), cone_angle)  # [R,M]
     inside = T < tmax[:, None]
 
-    # candidate cell coords per coordinate axis — [R, M] each, fused by XLA
-    # Cascade/occupancy space is WORLD space (ngp convention: cascade k is a
-    # side-2^k cube centered at (0.5,)³ — common_nerf.cu cascaded_grid_idx_at).
-    px = origins[:, 0:1] + T * directions[:, 0:1]
-    py = origins[:, 1:2] + T * directions[:, 1:2]
-    pz = origins[:, 2:3] + T * directions[:, 2:3]
-
-    # mip_from_dt: cascade from position extent, coarsened by step width
-    maxval = jnp.maximum(jnp.maximum(jnp.abs(px - 0.5), jnp.abs(py - 0.5)), jnp.abs(pz - 0.5))
-    mip_pos = jnp.clip(
-        jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-12))).astype(jnp.int32) + 2, 0, n_cascades - 1
-    )
-    d_scaled = dt * (2 * GRID_RESOLUTION)
-    expo = jnp.floor(jnp.log2(jnp.maximum(d_scaled, 1e-12))).astype(jnp.int32) + 1
-    mip = jnp.where(
-        d_scaled < 1.0, mip_pos, jnp.clip(jnp.maximum(expo, mip_pos), 0, n_cascades - 1)
-    )
-
-    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
-    Rg = GRID_RESOLUTION
-
-    def cell_of(p):
-        q = (p - 0.5) * mip_scale + 0.5
-        return jnp.clip(jnp.floor(q * Rg).astype(jnp.int32), 0, Rg - 1)
-
-    ix, iy, iz = cell_of(px), cell_of(py), cell_of(pz)
-    flat = ((mip * Rg + ix) * Rg + iy) * Rg + iz  # [R, M]
-
+    flat = _candidate_cells(origins, directions, T, dt, n_cascades)
     # materialize the indices before gathering: without the barrier XLA fuses
     # the whole index computation into (multiple) gather consumers and the
-    # fused kernel is ~50× slower than gather-from-materialized-indices
+    # fused kernel is far slower than gather-from-materialized-indices
     flat = jax.lax.optimization_barrier(flat)
     occ = jnp.take(occupancy.reshape(-1), flat, axis=0) & inside  # one gather
     occ = jax.lax.optimization_barrier(occ)
 
+    saturated = jnp.zeros((R,), jnp.bool_)
     if use_grid_early_stop and density_grid is not None:
         dens = jnp.take(density_grid.reshape(-1), flat, axis=0)
         tau = jnp.cumsum(jnp.where(occ, dens * dt, 0.0), axis=1)
-        occ &= (tau - dens * dt) < grid_stop_tau  # exclusive cumsum test
+        keep = (tau - dens * dt) < grid_stop_tau  # exclusive cumsum test
+        saturated = jnp.any(occ & ~keep, axis=1)
+        occ &= keep
 
-    # compaction: first K occupied candidates → [R, K] slots. ``rank`` is
-    # monotone along M, so the k-th occupied index is a binary search —
-    # scatter-free (TPU scatters cost ~100× a gather of the same size).
-    # top_k over a monotone score picks the first K occupied candidates in
-    # order (occupied scores M−m > 0 > −m unoccupied): scatter-free and
-    # without the [R,M,K] blow-up of a searchsorted/count formulation.
-    ms = jnp.arange(M, dtype=jnp.int32)[None, :]
-    score = jnp.where(occ, M - ms, -ms)
-    _, idx = jax.lax.top_k(score, K)  # [R, K], m ascending among occupied
+    ranks = jnp.cumsum(occ.astype(jnp.int32), axis=1)  # [R, M] inclusive
+    nocc = ranks[:, -1]  # [R]
+
+    if selection == "spread":
+        # stratified rank targets over all occupied candidates; stride-scaled
+        # dt keeps the optical-depth integral calibrated when subsampling
+        stride = jnp.maximum(nocc.astype(jnp.float32) / K, 1.0)[:, None]  # [R,1]
+        ks = jnp.arange(K, dtype=jnp.float32)[None, :]
+        u = spread_rng if spread_rng is not None else jnp.full((R, K), 0.5)
+        targets_f = (ks + u) * stride  # in [0, nocc)
+        targets = jnp.clip(targets_f.astype(jnp.int32) + 1, 1, jnp.maximum(nocc, 1)[:, None])
+        idx = _rank_select(ranks, targets, m_bits)
+        out_dt_scale = stride
+    else:
+        targets = jnp.broadcast_to(jnp.arange(1, K + 1, dtype=jnp.int32)[None, :], (R, K))
+        idx = _rank_select(ranks, targets, m_bits)
+        out_dt_scale = jnp.ones((R, 1), jnp.float32)
+
     out_t = jnp.take_along_axis(T, idx, axis=1)
-    out_dt = jnp.take_along_axis(dt, idx, axis=1)
+    out_dt = jnp.take_along_axis(dt, idx, axis=1) * out_dt_scale
 
-    n = jnp.minimum(jnp.sum(occ.astype(jnp.int32), axis=1), K)
+    n = jnp.minimum(nocc, K)
     n = jnp.where(hit, n, 0)
     valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n[:, None]
     out_t = jnp.where(valid, out_t, 0.0)
     out_dt = jnp.where(valid, out_dt, 0.0)
-    return SampleBatch(t=out_t, dt=out_dt, valid=valid, n=n)
+    batch = SampleBatch(t=out_t, dt=out_dt, valid=valid, n=n)
+    if not with_aux:
+        return batch
+    # t just past the last sample (for window continuation), and whether the
+    # ray still had occupied candidates beyond the K budget
+    last_t = jnp.max(jnp.where(valid, out_t + out_dt, 0.0), axis=1)
+    t_last = jnp.where(n > 0, last_t, jnp.where(hit, T[:, -1], tmax))
+    exhausted = (nocc > K) & hit
+    return batch, MarchAux(t_last=t_last, saturated=saturated, exhausted=exhausted)
 
 
-@partial(jax.jit, static_argnames=("k_samples", "n_steps", "use_grid_early_stop"))
-def march_rays_skip(
-    origins: jnp.ndarray,  # [R, 3] world
-    directions: jnp.ndarray,  # [R, 3] unit
-    skip_field: jnp.ndarray,  # [C, R, R, R] int32 chebyshev dist-to-occupied
-    aabb_lo: jnp.ndarray,
-    aabb_hi: jnp.ndarray,
-    cone_angle: jnp.ndarray,
-    t_jitter: Optional[jnp.ndarray] = None,
+def march_rays_training(
+    origins,
+    directions,
+    occupancy,
+    aabb_lo,
+    aabb_hi,
+    cone_angle,
+    rng: Optional[jax.Array] = None,
     t_start_min: float = 0.0,
     k_samples: int = 32,
-    n_steps: int = 96,
-    density_grid: Optional[jnp.ndarray] = None,
-    use_grid_early_stop: bool = False,
-    grid_stop_tau: float = 12.0,
+    n_candidates: int = 1024,
 ) -> SampleBatch:
-    """Skip-field march: the production sampler.
-
-    Each of ``n_steps`` scan iterations does ONE [R] skip-field lookup per
-    ray: distance 0 → emit a sample and step dt; distance d>0 → jump
-    (d−1) cells of that cascade (the chebyshev ball is guaranteed empty).
-    Total lookups = R·n_steps ≈ 10× fewer than checking every ladder
-    candidate — the knob that matters, since TPU random gathers are
-    tile-granular. Emissions accumulate as scan outputs (no scatters);
-    one top_k compacts them into the [R, K] slab."""
-    R_ = origins.shape[0]
-    K = k_samples
-    n_cascades = skip_field.shape[0]
-    aabb = BoundingBox(aabb_lo, aabb_hi)
-    Rg = GRID_RESOLUTION
-
-    tmin, tmax = aabb.ray_intersect(origins, directions)
-    tmin = jnp.maximum(tmin, t_start_min)
-    hit = tmin < tmax
-    t0 = jnp.where(hit, tmin, tmax)
-    if t_jitter is not None:
-        t0 = t0 + coords.calc_dt(t0, cone_angle) * t_jitter
-
-    flat_skip = skip_field.reshape(-1)
-    flat_dens = density_grid.reshape(-1) if density_grid is not None else None
-
-    def body(carry, _):
-        t, tau = carry
-        dt = coords.calc_dt(t, cone_angle)
-        px = origins[:, 0] + t * directions[:, 0]
-        py = origins[:, 1] + t * directions[:, 1]
-        pz = origins[:, 2] + t * directions[:, 2]
-        maxval = jnp.maximum(jnp.maximum(jnp.abs(px - 0.5), jnp.abs(py - 0.5)), jnp.abs(pz - 0.5))
-        mip_pos = jnp.clip(
-            jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-12))).astype(jnp.int32) + 2, 0, n_cascades - 1
-        )
-        dsc = dt * (2 * Rg)
-        expo = jnp.floor(jnp.log2(jnp.maximum(dsc, 1e-12))).astype(jnp.int32) + 1
-        mip = jnp.where(dsc < 1.0, mip_pos, jnp.clip(jnp.maximum(expo, mip_pos), 0, n_cascades - 1))
-        ms = jnp.exp2(-mip.astype(jnp.float32))
-
-        def cell_of(p):
-            return jnp.clip(jnp.floor(((p - 0.5) * ms + 0.5) * Rg).astype(jnp.int32), 0, Rg - 1)
-
-        flat = ((mip * Rg + cell_of(px)) * Rg + cell_of(py)) * Rg + cell_of(pz)
-        d = jnp.take(flat_skip, flat, axis=0)  # [R] — the one gather
-        inside = t < tmax
-        occupied = (d == 0) & inside
-
-        if use_grid_early_stop and flat_dens is not None:
-            dens = jnp.take(flat_dens, flat, axis=0)
-            new_tau = tau + jnp.where(occupied, dens * dt, 0.0)
-            occupied &= tau < grid_stop_tau
-        else:
-            new_tau = tau
-
-        cell_w = jnp.exp2(mip.astype(jnp.float32)) / Rg  # world cell width
-        jump = jnp.maximum((d - 1).astype(jnp.float32), 0.0) * cell_w
-        t_next = t + jnp.maximum(dt, jump)
-        return (t_next, new_tau), (t, dt, occupied)
-
-    (_, _), (ts, dts, occs) = jax.lax.scan(
-        body, (t0, jnp.zeros(R_, jnp.float32)), None, length=n_steps
-    )
-    ts = ts.T  # [R, S]
-    dts = dts.T
-    occs = occs.T
-
-    S = n_steps
-    ssi = jnp.arange(S, dtype=jnp.int32)[None, :]
-    score = jnp.where(occs, S - ssi, -ssi)
-    _, idx = jax.lax.top_k(score, K)
-    out_t = jnp.take_along_axis(ts, idx, axis=1)
-    out_dt = jnp.take_along_axis(dts, idx, axis=1)
-    n = jnp.minimum(jnp.sum(occs.astype(jnp.int32), axis=1), K)
-    n = jnp.where(hit, n, 0)
-    valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n[:, None]
-    return SampleBatch(
-        t=jnp.where(valid, out_t, 0.0),
-        dt=jnp.where(valid, out_dt, 0.0),
-        valid=valid,
-        n=n,
+    """Training sampler: stratified-spread selection with jittered start
+    (the analog of generate_training_samples_nerf, testbed_nerf.cu:1087)."""
+    R = origins.shape[0]
+    if rng is not None:
+        k1, k2 = jax.random.split(rng)
+        t_jitter = jax.random.uniform(k1, (R,))
+        spread = jax.random.uniform(k2, (R, k_samples))
+    else:
+        t_jitter, spread = None, None
+    return march_rays(
+        origins,
+        directions,
+        occupancy,
+        aabb_lo,
+        aabb_hi,
+        cone_angle,
+        t_jitter=t_jitter,
+        t_start_min=t_start_min,
+        k_samples=k_samples,
+        n_candidates=n_candidates,
+        selection="spread",
+        spread_rng=spread,
     )
 
 

@@ -62,12 +62,81 @@ def make_parallel_train_step(
     def sharded(state, occupancy, data, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         grads, aux = grads_of(state.params, occupancy, data, rng)
+        # per-ray integer aux (pixel picks) is device-local bookkeeping —
+        # drop it before the float pmean (matches the serial step's contract)
+        aux.pop("img_idx", None)
+        aux.pop("pix", None)
+        aux.pop("per_ray_loss", None)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         aux = jax.tree.map(lambda x: jax.lax.pmean(x.astype(jnp.float32), DATA_AXIS), aux)
         new_state = optim.apply_gradients(state, grads, spec)
         return new_state, aux
 
     return sharded
+
+
+def make_sharded_render(
+    model: NerfNetwork,
+    mesh: Mesh,
+    opts=None,
+):
+    """Pixel-sharded rendering (SURVEY §2.7b): rays shard over the ``data``
+    axis, each device marches + evaluates its slice with the replicated
+    model/grid, and the output tiles reassemble via the output sharding —
+    no collective other than the implicit gather of the result.
+
+    → fn(params, grid, origins [R,3], dirs [R,3], bg [4]) → (rgba [R,4],
+    depth [R]); R must be divisible by the mesh size (pad upstream).
+    """
+    from nerfshop_tpu.render import renderer as renderer_lib
+
+    opts = opts or renderer_lib.RenderOptions()
+    n_dev = mesh.shape[DATA_AXIS]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    def sharded(params, grid, origins, dirs, bg):
+        return renderer_lib._render_chunk(model, params, grid, origins, dirs, opts, bg)
+
+    return jax.jit(sharded)
+
+
+def render_frame_sharded(
+    model: NerfNetwork,
+    params,
+    grid,
+    mesh: Mesh,
+    resolution: Tuple[int, int],
+    xform,
+    focal,
+    principal=None,
+    opts=None,
+    bg=None,
+):
+    """Whole-frame pixel-sharded render (convenience driver over
+    :func:`make_sharded_render`). → (rgba [H,W,4], depth [H,W])."""
+    from nerfshop_tpu.ops import rays as rays_lib
+    from nerfshop_tpu.render import renderer as renderer_lib
+
+    W, H = resolution
+    principal = jnp.asarray([0.5, 0.5]) if principal is None else principal
+    bg = jnp.zeros(4) if bg is None else jnp.asarray(bg, jnp.float32)
+    bundle = rays_lib.rays_for_image((W, H), xform, focal, principal)
+    n = W * H
+    n_dev = mesh.shape[DATA_AXIS]
+    n_pad = (-n) % n_dev
+    origins = jnp.concatenate([bundle.origins, jnp.zeros((n_pad, 3))])
+    dirs = jnp.concatenate(
+        [bundle.directions, jnp.ones((n_pad, 3)) * jnp.asarray([0.0, 0.0, 1.0])]
+    )
+    fn = make_sharded_render(model, mesh, opts)
+    rgba, depth = fn(params, grid, origins, dirs, bg)
+    return rgba[:n].reshape(H, W, 4), depth[:n].reshape(H, W)
 
 
 def shard_rays(mesh: Mesh, *arrays):

@@ -3,13 +3,18 @@
 
 Design divergence from CUDA (deliberate, XLA-first): instead of the
 double-buffered alive-ray compaction loop with a host-synced alive counter
-every iteration (testbed_nerf.cu:2827), each pixel chunk runs ONE occupancy-
-guided sampler (ops/march.py — fixed K slots, while_loop, zero host syncs)
-followed by ONE batched network evaluation and a cumulative-sum composite.
-Early termination appears as (a) the sampler's density-grid transmittance
-proxy and (b) the composite's hard transmittance cutoff, instead of
-per-iteration ray retirement. The network eval is a dense [chunk·K, ·]
-matmul slab on the MXU.
+every iteration (testbed_nerf.cu:2827), each pixel chunk runs ONE one-shot
+occupancy-guided sampler (ops/march.py — fixed K slots, zero loops, zero
+host syncs) followed by ONE batched network evaluation and a cumulative-sum
+composite. Early termination appears as (a) the sampler's density-grid
+transmittance proxy and (b) the composite's hard transmittance cutoff,
+instead of per-iteration ray retirement. The network eval is a dense
+[chunk·K, ·] matmul slab on the MXU.
+
+The whole frame is ONE jitted program: ``lax.map`` over pixel chunks keeps
+per-dispatch overhead (and host round-trips) out of the frame loop, and the
+chunk size bounds peak memory (chunk × k_samples ≤ ~2^18 network inputs per
+map step, vs. the reference's ~1M-sample trace batches).
 
 Render modes supported: Shade, Depth, Positions, Normals (autodiff of the
 density field — the analog of network.input_gradient at 2924), Cost
@@ -39,11 +44,18 @@ NEAR_DISTANCE_RENDER = 0.05  # NERF_RENDERING_NEAR_DISTANCE (common_nerf.h:24)
 
 @dataclass(frozen=True)
 class RenderOptions:
-    k_samples: int = 64
+    k_samples: int = 32
+    #: march candidate budget per window (reference: 1024 steps/ray,
+    #: common_nerf.h:25)
+    n_candidates: int = 1024
+    #: extra march+eval windows for rays whose K budget filled before the
+    #: transmittance cutoff (the analog of the reference's compaction
+    #: rounds); each window restarts the ladder at the previous window's end
+    n_windows: int = 2
     cone_angle: float = 0.0
     aabb_scale: int = 1
     min_transmittance: float = MIN_TRANSMITTANCE_RENDER
-    chunk: int = 1 << 15
+    chunk: int = 1 << 13
     mode: RenderMode = RenderMode.Shade
     use_grid_early_stop: bool = True
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
@@ -57,36 +69,19 @@ class FrameOutput(NamedTuple):
     depth: jnp.ndarray  # [H, W]
 
 
-def _render_chunk(
+def _eval_window(
     model: NerfNetwork,
     params,
-    grid,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
+    samples: march.SampleBatch,
+    origins,
+    directions,
     opts: RenderOptions,
-    bg: jnp.ndarray,
-    operators: tuple = (),
+    aabb,
+    operators: tuple,
 ):
-    aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
-    samples = march.march_rays_skip(
-        origins,
-        directions,
-        grid.skip,
-        aabb.min,
-        aabb.max,
-        jnp.asarray(opts.cone_angle),
-        t_start_min=NEAR_DISTANCE_RENDER,
-        k_samples=opts.k_samples,
-        n_steps=max(128, 2 * opts.k_samples),
-        density_grid=grid.density,
-        use_grid_early_stop=opts.use_grid_early_stop,
-    )
+    """Network evaluation + per-sample edit warp for one march window.
+    → (sigma [R,K], rgb [R,K,3])."""
     R, K = samples.t.shape
-
-    # edit-operator hook (reference: map_rays inside the trace loop,
-    # testbed_nerf.cu:2901): backward-warp WORLD sample positions through
-    # the operator stack, flag vacated source samples empty (→ α=0), and
-    # collect membrane residuals (E11).
     empty_mask = None
     resid_sigma = resid_rgb = None
     if operators:
@@ -132,23 +127,117 @@ def _render_chunk(
         # additive residual density + SH color delta)
         sigma = sigma + resid_sigma
         rgb_s = jnp.clip(rgb_s + resid_rgb, 0.0, None)
+    return sigma, rgb_s
 
-    res = comp.composite(sigma, rgb_s, samples.dt, samples.t, samples.valid, opts.min_transmittance)
+
+def _render_chunk(
+    model: NerfNetwork,
+    params,
+    grid,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    opts: RenderOptions,
+    bg: jnp.ndarray,
+    operators: tuple = (),
+):
+    aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
+    R = origins.shape[0]
+    K = opts.k_samples
+
+    # window 1..n: march from t_start, eval, composite onto the carry
+    acc_rgb = jnp.zeros((R, 3))
+    acc_opacity = jnp.zeros((R,))
+    trans = jnp.ones((R,))
+    depth = jnp.zeros((R,))
+    n_used = jnp.zeros((R,), jnp.int32)
+    t_start = None
+    for w in range(max(1, opts.n_windows)):
+        samples, aux = march.march_rays(
+            origins,
+            directions,
+            grid.occupancy,
+            aabb.min,
+            aabb.max,
+            jnp.asarray(opts.cone_angle),
+            t_start_min=NEAR_DISTANCE_RENDER,
+            t_start=t_start,
+            k_samples=K,
+            n_candidates=opts.n_candidates,
+            density_grid=grid.density,
+            use_grid_early_stop=opts.use_grid_early_stop,
+            selection="first",
+            with_aux=True,
+        )
+        if w > 0:
+            # only rays that exhausted their budget (and aren't saturated)
+            # march again; others contribute nothing
+            cont = aux_prev.exhausted & ~aux_prev.saturated & (trans > opts.min_transmittance)
+            samples = samples._replace(valid=samples.valid & cont[:, None])
+        sigma, rgb_s = _eval_window(model, params, samples, origins, directions, opts, aabb, operators)
+        res = comp.composite(
+            sigma, rgb_s, samples.dt, samples.t, samples.valid, opts.min_transmittance
+        )
+        # scale this window's contribution by the transmittance accumulated
+        # in previous windows (front-to-back continuation)
+        acc_rgb = acc_rgb + trans[:, None] * res.rgb
+        depth = jnp.where(acc_opacity > 0, depth, res.depth)
+        acc_opacity = acc_opacity + trans * res.opacity
+        trans = trans * res.transmittance
+        n_used = n_used + res.n_used
+        t_start = aux.t_last
+        aux_prev = aux
 
     if opts.mode == RenderMode.Depth:
-        v = res.depth[:, None] * jnp.ones((1, 3))
-        rgba = jnp.concatenate([v, res.opacity[:, None]], -1)
+        v = depth[:, None] * jnp.ones((1, 3))
+        rgba = jnp.concatenate([v, acc_opacity[:, None]], -1)
     elif opts.mode == RenderMode.Cost:
-        v = (res.n_used.astype(jnp.float32) / opts.k_samples)[:, None] * jnp.ones((1, 3))
+        v = (n_used.astype(jnp.float32) / K)[:, None] * jnp.ones((1, 3))
         rgba = jnp.concatenate([v, jnp.ones_like(v[:, :1])], -1)
     elif opts.mode == RenderMode.AO:
-        v = res.opacity[:, None] * jnp.ones((1, 3))
-        rgba = jnp.concatenate([v, res.opacity[:, None]], -1)
+        v = acc_opacity[:, None] * jnp.ones((1, 3))
+        rgba = jnp.concatenate([v, acc_opacity[:, None]], -1)
     else:
-        rgb_out = res.rgb + res.transmittance[:, None] * bg[:3]
-        alpha = res.opacity + res.transmittance * bg[3]
+        rgb_out = acc_rgb + trans[:, None] * bg[:3]
+        alpha = acc_opacity + trans * bg[3]
         rgba = jnp.concatenate([rgb_out, alpha[:, None]], -1)
-    return rgba, res.depth
+    return rgba, depth
+
+
+def _make_frame_fn(model, resolution, opts: RenderOptions):
+    """Compiled whole-frame program: rays → lax.map over pixel chunks."""
+    W, H = resolution
+
+    def frame_fn(params, grid, xform, focal, principal, distortion, subpixel_jitter, bg, operators):
+        bundle = rays_lib.rays_for_image(
+            (W, H), xform, focal, principal, distortion, subpixel_jitter
+        )
+        n = W * H
+        chunk = min(opts.chunk, n)
+        n_pad = (-n) % chunk
+        origins = jnp.concatenate([bundle.origins, jnp.zeros((n_pad, 3))])
+        dirs = jnp.concatenate(
+            [bundle.directions, jnp.ones((n_pad, 3)) * jnp.asarray([0.0, 0.0, 1.0])]
+        )
+
+        def body(chunk_in):
+            o, d = chunk_in
+            return _render_chunk(model, params, grid, o, d, opts, bg, operators)
+
+        rgba, depth = jax.lax.map(
+            body,
+            (origins.reshape(-1, chunk, 3), dirs.reshape(-1, chunk, 3)),
+        )
+        rgba = rgba.reshape(-1, 4)[:n].reshape(H, W, 4)
+        depth = depth.reshape(-1)[:n].reshape(H, W)
+        return rgba, depth
+
+    return jax.jit(frame_fn)
+
+
+#: compiled-frame cache: (id(model), resolution, opts, has_distortion,
+#: has_jitter, operator treedef) → jitted fn. Keyed by id(model) because
+#: models are plain dataclasses; they are immutable in practice.
+_FRAME_FN_CACHE: dict = {}
 
 
 def render_frame(
@@ -164,32 +253,22 @@ def render_frame(
     subpixel_jitter: Optional[jnp.ndarray] = None,
     operators: tuple = (),
 ) -> FrameOutput:
-    """Render one frame, chunked over pixels. Jit happens per-chunk so
-    arbitrary resolutions reuse the same compiled program."""
+    """Render one frame as ONE jitted program (chunked internally by
+    ``lax.map`` so peak memory stays bounded at any resolution)."""
     W, H = resolution
     principal = jnp.asarray([0.5, 0.5]) if principal is None else principal
-    bundle = rays_lib.rays_for_image((W, H), xform, focal, principal, distortion, subpixel_jitter)
-
-    n = W * H
-    chunk = opts.chunk
-    n_pad = (-n) % chunk
-    origins = jnp.concatenate([bundle.origins, jnp.zeros((n_pad, 3))])
-    dirs = jnp.concatenate([bundle.directions, jnp.ones((n_pad, 3)) * jnp.asarray([0.0, 0.0, 1.0])])
-
     bg = jnp.asarray(opts.background, jnp.float32)
-    fn = jax.jit(
-        partial(_render_chunk, model),
-        static_argnames=("opts",),
+    operators = tuple(operators)
+    op_kinds = tuple(type(op).__name__ for op in operators)
+    key = (
+        id(model), (W, H), opts, distortion is not None,
+        subpixel_jitter is not None, op_kinds,
     )
-    rgba_chunks, depth_chunks = [], []
-    for i in range(0, n + n_pad, chunk):
-        rgba, depth = fn(
-            params, grid,
-            origins[i : i + chunk], dirs[i : i + chunk],
-            opts=opts, bg=bg, operators=operators,
-        )
-        rgba_chunks.append(rgba)
-        depth_chunks.append(depth)
-    rgba = jnp.concatenate(rgba_chunks)[:n].reshape(H, W, 4)
-    depth = jnp.concatenate(depth_chunks)[:n].reshape(H, W)
+    fn = _FRAME_FN_CACHE.get(key)
+    if fn is None:
+        fn = _make_frame_fn(model, (W, H), opts)
+        _FRAME_FN_CACHE[key] = fn
+    rgba, depth = fn(
+        params, grid, xform, focal, principal, distortion, subpixel_jitter, bg, operators
+    )
     return FrameOutput(rgba, depth)

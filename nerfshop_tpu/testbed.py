@@ -347,6 +347,7 @@ class Testbed:
         focal: Optional[np.ndarray] = None,
         principal: Optional[np.ndarray] = None,
         min_transmittance: Optional[float] = None,
+        distortion: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """→ [H, W, 4] float32 (sRGB-encoded unless ``linear``). Parity with
         pyngp render/screenshot (scripts/run.py usage)."""
@@ -384,6 +385,9 @@ class Testbed:
             background=tuple(np.asarray(self.background_color, np.float32)),
         )
         params = self._inference_params()
+        dist = None
+        if distortion is not None and np.any(np.asarray(distortion)):
+            dist = jnp.asarray(distortion, jnp.float32)
         buf = RenderBuffer((width, height))
         buf.clear()
         for s in range(spp):
@@ -394,7 +398,8 @@ class Testbed:
             out = renderer.render_frame(
                 self._model, params, self._grid,
                 (width, height), jnp.asarray(cam), jnp.asarray(focal),
-                jnp.asarray(principal), opts=opts, subpixel_jitter=jitter,
+                jnp.asarray(principal), distortion=dist,
+                opts=opts, subpixel_jitter=jitter,
                 operators=tuple(self._edit_operators),
             )
             buf.accumulate(out.rgba, out.depth)
@@ -493,11 +498,31 @@ class Testbed:
 
     # ------------------------------------------------------------------ editing
 
-    def add_edit_operator(self, op) -> None:
+    def add_edit_operator(self, op, refresh_grid: bool = True) -> None:
+        """Add an operator and refresh the occupancy grid through the stack
+        (reference: update_density_grid_nerf_render(50) after every cage
+        manipulation, src/testbed.cu:1266 — without this the march never
+        generates samples inside the deformed target region)."""
         self._edit_operators.append(op)
+        if refresh_grid and self._grid is not None and self._state is not None:
+            self.refresh_grid_for_edits()
 
     def remove_edit_operator(self, idx: int) -> None:
         self._edit_operators.pop(idx)
+        if self._grid is not None and self._state is not None:
+            self.refresh_grid_for_edits()
+
+    def refresh_grid_for_edits(self) -> None:
+        """Full density-grid re-estimate through the operator stack (E16)."""
+        import jax
+
+        from nerfshop_tpu.train import nerf as nerf_train
+
+        update = nerf_train.make_grid_update(
+            self._model, self._train_cfg, operators=tuple(self._edit_operators)
+        )
+        self._rng, k = jax.random.split(self._rng)
+        self._grid = update(self._grid, self._state.inference_params, k, full_refresh=True)
 
     @property
     def edit_operators(self):

@@ -79,16 +79,15 @@ def make_distill_step(
     aabb = coords.BoundingBox.from_aabb_scale(cfg.aabb_scale)
 
     def step(state: optim.TrainState, grid, data: nerf_train.DeviceDataset, rng: jax.Array):
-        k_rays, k_jit = jax.random.split(rng)
+        k_rays, k_march = jax.random.split(rng)
         bundle, _, _ = rays_lib.sample_training_rays(
             k_rays, cfg.n_rays_per_batch, data.images, data.xforms,
             data.focals, data.principals, data.distortions,
         )
-        t_jitter = jax.random.uniform(k_jit, (cfg.n_rays_per_batch,))
-        samples = march.march_rays_skip(
-            bundle.origins, bundle.directions, grid.skip,
+        samples = march.march_rays_training(
+            bundle.origins, bundle.directions, grid.occupancy,
             aabb.min, aabb.max, jnp.asarray(cfg.cone_angle),
-            t_jitter=t_jitter, t_start_min=cfg.near_distance,
+            rng=k_march, t_start_min=cfg.near_distance,
             k_samples=cfg.k_samples,
         )
         R, K = samples.t.shape

@@ -146,7 +146,7 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
     n_rays = n_rays or cfg.n_rays_per_batch
 
     def grads_of(params, grid: grid_lib.OccupancyGrid, data: DeviceDataset, rng: jax.Array, error_map=None):
-        k_rays, k_jit, k_bg = jax.random.split(rng, 3)
+        k_rays, k_march, k_bg = jax.random.split(rng, 3)
         N, H, W = data.images.shape[:3]
         res = jnp.asarray([W, H], jnp.float32)
         img_idx, pix, targets = rays_lib.sample_training_pixels(
@@ -160,11 +160,10 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
             img_idx, pix, data.xforms, data.focals, data.principals, res,
             data.distortions, jax.lax.stop_gradient(cam0) if cam0 else None,
         )
-        t_jitter = jax.random.uniform(k_jit, (n_rays,))
-        samples = march.march_rays_skip(
-            bundle0.origins, bundle0.directions, grid.skip,
+        samples = march.march_rays_training(
+            bundle0.origins, bundle0.directions, grid.occupancy,
             aabb.min, aabb.max, jnp.asarray(cfg.cone_angle),
-            t_jitter=t_jitter, t_start_min=cfg.near_distance,
+            rng=k_march, t_start_min=cfg.near_distance,
             k_samples=cfg.k_samples,
         )
         bg = (

@@ -51,9 +51,9 @@ def _filter2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
 
     kh, kw = kernel.shape
     win = sliding_window_view(img, (kh, kw), axis=(0, 1))
-    return np.einsum("ijk...,...->ijk", win, kernel) if img.ndim == 3 else np.einsum(
-        "ij...,...->ij", win, kernel
-    )
+    if img.ndim == 3:
+        return np.einsum("ijckl,kl->ijc", win, kernel)
+    return np.einsum("ijkl,kl->ij", win, kernel)
 
 
 def ssim(a: np.ndarray, b: np.ndarray, max_val: float = 1.0) -> float:

@@ -107,6 +107,7 @@ def main():
             img = tb.render(
                 W, H, spp=args.screenshot_spp, linear=False,
                 camera_matrix=ds.xforms[i], focal=intr.focal, principal=intr.principal,
+                distortion=intr.distortion,
             )
             # protocol: composite GT over black via straight alpha, sRGB space
             gt_rgb = gt[..., :3] * gt[..., 3:4]
@@ -131,7 +132,8 @@ def main():
             for i in idxs:
                 intr = ds.intrinsics[i]
                 img = tb.render(args.width, args.height, spp=args.screenshot_spp,
-                                camera_matrix=ds.xforms[i], focal=intr.focal, principal=intr.principal)
+                                camera_matrix=ds.xforms[i], focal=intr.focal,
+                                principal=intr.principal, distortion=intr.distortion)
                 from nerfshop_tpu.data import image_io
 
                 image_io.write_image(out / f"{i:04d}.png", img, linear_input=False)

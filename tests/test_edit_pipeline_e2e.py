@@ -53,6 +53,14 @@ def trained():
 
 
 def _render(model, state, grid, cfg, focal, principal, operators=(), eye_offset=(0.9, 0.9, 0.5)):
+    # Refresh the grid through the operator stack so the march samples the
+    # deformed target region (reference: testbed.cu:1266). The refresh runs
+    # for the base render too (empty stack) so base/edited comparisons see
+    # the same EMA-refresh state. Copy first: the update donates its grid
+    # argument and the fixture grid is shared across tests.
+    update = nerf_train.make_grid_update(model, cfg, operators=tuple(operators))
+    grid_copy = jax.tree.map(lambda a: a.copy(), grid)
+    grid = update(grid_copy, state.inference_params, jax.random.PRNGKey(7), full_refresh=True)
     xf = look_at(CENTER + np.asarray(eye_offset, np.float32))
     opts = renderer.RenderOptions(
         k_samples=48, aabb_scale=1, min_transmittance=1e-4, mode=renderer.RenderMode.Shade,

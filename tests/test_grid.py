@@ -23,10 +23,28 @@ def test_create_and_bitfield_threshold():
 def test_ema_update_decays_only_sampled():
     g = grid_lib.OccupancyGrid.create(1)
     density = g.density.at[0, 0, 0, 0].set(1.0).at[0, 1, 1, 1].set(1.0)
-    splat = jnp.full_like(density, -1.0).at[0, 0, 0, 0].set(0.0)
-    new = grid_lib.ema_update(density, splat, decay=0.9)
+    fresh = jnp.zeros_like(density)
+    sampled = jnp.zeros_like(density, bool).at[0, 0, 0, 0].set(True)
+    new = grid_lib.ema_update(density, fresh, sampled, decay=0.9)
     assert float(new[0, 0, 0, 0]) == np.float32(0.9)  # decayed (sample was 0)
     assert float(new[0, 1, 1, 1]) == 1.0  # untouched
+
+
+def test_slab_refresh_covers_all_cells_in_4_updates(rng):
+    """Steady-state updates roll a R/4 z-slab: four updates with distinct
+    offsets refresh every cell exactly once."""
+
+    def density_fn(pos):
+        return jnp.full(pos.shape[:-1], 7.0)
+
+    g = grid_lib.OccupancyGrid.create(1)
+    keys = [jax.random.PRNGKey(i) for i in range(64)]
+    seen = np.zeros(4, bool)
+    for k in keys:
+        g = grid_lib.update_density_grid(g, density_fn, k, 1, full_refresh=False)
+        if np.asarray(g.density == 7.0).all():
+            break
+    assert float(jnp.min(g.density)) == 7.0  # every z-slab eventually hit
 
 
 def test_update_density_grid_with_synthetic_field(rng):
@@ -57,7 +75,7 @@ def test_occupancy_lookup_matches_cells(rng):
     assert not bool(grid_lib.occupancy_at(g, jnp.asarray([[0.1, 0.1, 0.1]]), jnp.asarray([0]))[0])
 
 
-def test_partial_refresh_respects_occupancy(rng):
+def test_partial_refresh_updates_slab(rng):
     calls = []
 
     def density_fn(pos):
@@ -65,8 +83,10 @@ def test_partial_refresh_respects_occupancy(rng):
         return jnp.full(pos.shape[:-1], 5.0)
 
     g = grid_lib.OccupancyGrid.create(1)
-    g = grid_lib.update_density_grid(g, density_fn, rng, 1, 4096, full_refresh=False)
+    g = grid_lib.update_density_grid(g, density_fn, rng, 1, full_refresh=False)
     # density_fn runs under lax.map in fixed-size chunks (padded)
     assert calls[0][1] == 3
-    # some cells got the new density
+    # exactly one z-slab (¼ of cells) got the new density
     assert float(jnp.max(g.density)) == 5.0
+    frac = float(jnp.mean((g.density == 5.0).astype(jnp.float32)))
+    assert abs(frac - 0.25) < 1e-6

@@ -77,3 +77,35 @@ def test_parallel_matches_serial_loss_scale():
     _, saux = sstep(state, grid, data, jax.random.PRNGKey(1))
     # different RNG folding → not identical, but same order of magnitude
     assert 0.05 < float(paux["loss"]) / max(float(saux["loss"]), 1e-9) < 20.0
+
+
+def test_pixel_sharded_render_matches_serial():
+    """SURVEY §2.7b: rays shard over the mesh; result equals the serial
+    renderer bit-for-bit (same chunk function, no RNG involved)."""
+    from nerfshop_tpu.render import renderer
+
+    model, cfg, spec, data = _tiny_setup()
+    params = model.init(jax.random.PRNGKey(0))
+    grid = grid_lib.OccupancyGrid.create(1)
+    # occupancy: centered ball with some density
+    g = (np.arange(128) + 0.5) / 128
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    occ = ((xx - 0.5) ** 2 + (yy - 0.5) ** 2 + (zz - 0.5) ** 2) < 0.2**2
+    grid = grid._replace(
+        occupancy=jnp.asarray(occ[None]),
+        density=jnp.where(jnp.asarray(occ[None]), 5.0, 0.0),
+    )
+
+    W, H = 32, 24
+    xf = jnp.asarray([[1.0, 0, 0, 0.5], [0, 1.0, 0, 0.5], [0, 0, 1.0, -0.6]], jnp.float32)
+    focal = jnp.asarray([30.0, 30.0])
+    opts = renderer.RenderOptions(k_samples=16, n_candidates=256, n_windows=1, chunk=W * H)
+
+    mesh = mesh_lib.make_mesh()
+    rgba_s, depth_s = mesh_lib.render_frame_sharded(
+        model, params, grid, mesh, (W, H), xf, focal, opts=opts
+    )
+    out = renderer.render_frame(model, params, grid, (W, H), xf, focal, opts=opts)
+    np.testing.assert_allclose(np.asarray(rgba_s), np.asarray(out.rgba), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth_s), np.asarray(out.depth), atol=1e-5)
+    assert float(jnp.max(rgba_s[..., 3])) > 0.01  # something rendered
