@@ -139,6 +139,7 @@ def _render_chunk(
     opts: RenderOptions,
     bg: jnp.ndarray,
     operators: tuple = (),
+    envmap: Optional[jnp.ndarray] = None,
 ):
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
     R = origins.shape[0]
@@ -197,8 +198,18 @@ def _render_chunk(
         v = acc_opacity[:, None] * jnp.ones((1, 3))
         rgba = jnp.concatenate([v, acc_opacity[:, None]], -1)
     else:
-        rgb_out = acc_rgb + trans[:, None] * bg[:3]
-        alpha = acc_opacity + trans * bg[3]
+        if envmap is not None:
+            # envmap background behind transparent pixels (reference:
+            # envmap bg in init_rays, testbed_nerf.cu:2512 + composite)
+            em = jnp.asarray(envmap)
+            from nerfshop_tpu.ops import envmap as envmap_lib
+
+            bg_ray = envmap_lib.sample_envmap(em, directions)
+            rgb_out = acc_rgb + trans[:, None] * bg_ray[:, :3]
+            alpha = acc_opacity + trans * jnp.ones_like(trans)
+        else:
+            rgb_out = acc_rgb + trans[:, None] * bg[:3]
+            alpha = acc_opacity + trans * bg[3]
         rgba = jnp.concatenate([rgb_out, alpha[:, None]], -1)
     return rgba, depth
 
@@ -207,7 +218,7 @@ def _make_frame_fn(model, resolution, opts: RenderOptions):
     """Compiled whole-frame program: rays → lax.map over pixel chunks."""
     W, H = resolution
 
-    def frame_fn(params, grid, xform, focal, principal, distortion, subpixel_jitter, bg, operators):
+    def frame_fn(params, grid, xform, focal, principal, distortion, subpixel_jitter, bg, operators, envmap):
         bundle = rays_lib.rays_for_image(
             (W, H), xform, focal, principal, distortion, subpixel_jitter
         )
@@ -221,7 +232,7 @@ def _make_frame_fn(model, resolution, opts: RenderOptions):
 
         def body(chunk_in):
             o, d = chunk_in
-            return _render_chunk(model, params, grid, o, d, opts, bg, operators)
+            return _render_chunk(model, params, grid, o, d, opts, bg, operators, envmap)
 
         rgba, depth = jax.lax.map(
             body,
@@ -252,6 +263,7 @@ def render_frame(
     opts: RenderOptions = RenderOptions(),
     subpixel_jitter: Optional[jnp.ndarray] = None,
     operators: tuple = (),
+    envmap: Optional[jnp.ndarray] = None,
 ) -> FrameOutput:
     """Render one frame as ONE jitted program (chunked internally by
     ``lax.map`` so peak memory stays bounded at any resolution)."""
@@ -262,13 +274,14 @@ def render_frame(
     op_kinds = tuple(type(op).__name__ for op in operators)
     key = (
         id(model), (W, H), opts, distortion is not None,
-        subpixel_jitter is not None, op_kinds,
+        subpixel_jitter is not None, op_kinds, envmap is not None,
     )
     fn = _FRAME_FN_CACHE.get(key)
     if fn is None:
         fn = _make_frame_fn(model, (W, H), opts)
         _FRAME_FN_CACHE[key] = fn
     rgba, depth = fn(
-        params, grid, xform, focal, principal, distortion, subpixel_jitter, bg, operators
+        params, grid, xform, focal, principal, distortion, subpixel_jitter, bg,
+        operators, envmap,
     )
     return FrameOutput(rgba, depth)

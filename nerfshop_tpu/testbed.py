@@ -90,6 +90,8 @@ class Testbed:
                 optimize_extrinsics=False,
                 optimize_exposure=False,
                 optimize_distortion=False,
+                train_envmap=False,
+                use_error_map=False,
                 error_map=_Namespace(is_cdf_valid=False),
             ),
             render_with_camera_distortion=False,
@@ -115,6 +117,10 @@ class Testbed:
         self._sdf = None
         self._volume = None
         self._edit_operators: list = []
+        self._error_map = None
+        #: dynamic-resolution state (reference: render-res scaled by frame
+        #: time, src/testbed.cu:1809-1827); factor ∈ [1/8, 1]
+        self._dyn_res_factor = 1.0
 
         # default camera (matches the reference's default view of the unit cube)
         self.set_look_at(center=(0.5, 0.5, 0.5), eye=(0.5, -1.5, 0.5))
@@ -191,12 +197,35 @@ class Testbed:
             is_hdr = bool(self._dataset and self._dataset.is_hdr)
             self._model = build_nerf_network(cfg, aabb_scale=aabb_scale, is_hdr=is_hdr)
             self._spec = optim.build_optimizer(dict(cfg.get("optimizer", {})))
-            self._state = optim.create_train_state(self._model.init(k), self._spec)
+            params = self._model.init(k)
+            # trainable envmap background (T8): created from the dataset's
+            # envmap image, or fresh when the knob is set
+            envmap_path = getattr(self._dataset, "envmap_path", None) if self._dataset else None
+            train_envmap = bool(envmap_path) or bool(
+                getattr(self.nerf.training, "train_envmap", False)
+            )
+            if train_envmap:
+                from nerfshop_tpu.ops import envmap as envmap_lib
+
+                params["envmap"] = (
+                    envmap_lib.load_envmap(envmap_path)
+                    if envmap_path
+                    else envmap_lib.create_envmap()
+                )
+            self._state = optim.create_train_state(params, self._spec)
             self._train_cfg = nerf_train.NerfTrainConfig.for_aabb_scale(
                 aabb_scale,
                 loss_type=cfg.get("loss", {}).get("otype", "Huber"),
                 near_distance=self.nerf.training.near_distance,
+                train_envmap=train_envmap,
+                optimize_extrinsics=bool(self.nerf.training.optimize_extrinsics),
+                optimize_exposure=bool(self.nerf.training.optimize_exposure),
             )
+            if (
+                self._train_cfg.optimize_extrinsics or self._train_cfg.optimize_exposure
+            ) and self._dataset is not None:
+                params["camera"] = nerf_train.create_camera_params(self._dataset.n_images)
+                self._state = optim.create_train_state(params, self._spec)
             self.nerf.cone_angle_constant = self._train_cfg.cone_angle
             self._grid = grid_lib.OccupancyGrid.create(self._train_cfg.n_cascades)
             self._step_fn = None  # lazily (re)jitted
@@ -242,13 +271,22 @@ class Testbed:
                 # rays per step so that rays·K ≈ batch_size
                 n_rays = max(256, batch_size // self._train_cfg.k_samples)
                 self._train_cfg = nerf_train.NerfTrainConfig(
-                    **{**self._train_cfg.__dict__, "n_rays_per_batch": n_rays}
+                    **{
+                        **self._train_cfg.__dict__,
+                        "n_rays_per_batch": n_rays,
+                        "use_error_map": bool(self.nerf.training.use_error_map),
+                    }
                 )
                 self._step_fn = jax.jit(
                     nerf_train.make_train_step(self._model, self._spec, self._train_cfg),
                     donate_argnums=(0,),
                 )
                 self._grid_update_fn = nerf_train.make_grid_update(self._model, self._train_cfg)
+                if self._train_cfg.use_error_map:
+                    self._error_map = nerf_train.create_error_map(
+                        self._dataset.n_images, self._train_cfg.error_map_resolution
+                    )
+                    self.nerf.training.error_map.is_cdf_valid = True
 
             loss = 0.0
             for _ in range(n_steps):
@@ -260,7 +298,12 @@ class Testbed:
                         self._grid, self._state.params, k2, full_refresh=step < 256
                     )
                     self.stats.training_prep_ms = (time.perf_counter() - t0) * 1e3
-                self._state, aux = self._step_fn(self._state, self._grid, self._device_data, k1)
+                if self._train_cfg.use_error_map:
+                    self._state, aux, self._error_map = self._step_fn(
+                        self._state, self._grid, self._device_data, k1, self._error_map
+                    )
+                else:
+                    self._state, aux = self._step_fn(self._state, self._grid, self._device_data, k1)
                 self.stats.step += 1
             loss = float(aux["loss"])
             self.stats.loss = loss
@@ -401,6 +444,7 @@ class Testbed:
                 jnp.asarray(principal), distortion=dist,
                 opts=opts, subpixel_jitter=jitter,
                 operators=tuple(self._edit_operators),
+                envmap=params.get("envmap") if isinstance(params, dict) else None,
             )
             buf.accumulate(out.rgba, out.depth)
 
@@ -417,6 +461,34 @@ class Testbed:
             # model predicts sRGB-space radiance; convert for linear output
             img = jnp.concatenate([tm.srgb_to_linear(img[..., :3]), img[..., 3:]], -1)
         return np.asarray(img)
+
+    def render_dynamic(self, width: int, height: int, **kw) -> np.ndarray:
+        """Render at a dynamically-scaled internal resolution and upsample
+        (reference: dynamic res in draw_contents, src/testbed.cu:1809-1827:
+        factor ×= sqrt(target_time/measured), clamped ⅛..1, ±20% hysteresis).
+
+        Honors ``self.dynamic_res`` / ``self.dynamic_res_target_fps``."""
+        import jax
+        import jax.numpy as jnp
+
+        f = self._dyn_res_factor if self.dynamic_res else 1.0
+        # snap the internal res to multiples of 8 for friendly tiling
+        w = max(32, int(width * f) // 8 * 8)
+        h = max(32, int(height * f) // 8 * 8)
+        t0 = time.perf_counter()
+        img = self.render(w, h, **kw)
+        dt = time.perf_counter() - t0
+        if self.dynamic_res:
+            target = 1.0 / max(self.dynamic_res_target_fps, 1e-3)
+            suggested = f * math.sqrt(target / max(dt, 1e-6))
+            # ±20% hysteresis like the reference
+            if suggested < f * 0.8 or suggested > f * 1.2:
+                self._dyn_res_factor = float(np.clip(suggested, 1.0 / 8.0, 1.0))
+        if (w, h) != (width, height):
+            img = np.asarray(
+                jax.image.resize(jnp.asarray(img), (height, width, 4), "linear")
+            )
+        return img
 
     def screenshot(self, path: str, width: int = 1920, height: int = 1080, spp: int = 8) -> np.ndarray:
         from nerfshop_tpu.data import image_io

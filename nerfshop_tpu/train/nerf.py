@@ -77,6 +77,10 @@ class NerfTrainConfig:
     use_error_map: bool = False
     error_map_resolution: int = 32
     error_map_decay: float = 0.97
+    #: trainable lat-long environment map as the background (reference T8:
+    #: TrainableBuffer<4,2> + envmap composite, testbed.cu:2427-2442); the
+    #: envmap lives at params["envmap"] (see ops/envmap.py)
+    train_envmap: bool = False
 
     @staticmethod
     def for_aabb_scale(aabb_scale: int, **kw) -> "NerfTrainConfig":
@@ -166,7 +170,7 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
             rng=k_march, t_start_min=cfg.near_distance,
             k_samples=cfg.k_samples,
         )
-        bg = (
+        bg0 = (
             jax.random.uniform(k_bg, (n_rays, 3))
             if cfg.random_bg
             else jnp.zeros((n_rays, 3))
@@ -181,6 +185,15 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
                 )
             else:
                 bundle = bundle0
+            if cfg.train_envmap and "envmap" in p:
+                # envmap background: rays exiting the scene composite the
+                # trainable lat-long map; autodiff replaces the reference's
+                # gradient-deposit kernel (testbed_nerf.cu:1961-1984)
+                from nerfshop_tpu.ops import envmap as envmap_lib
+
+                bg = envmap_lib.sample_envmap(p["envmap"], bundle.directions)[:, :3]
+            else:
+                bg = bg0
             tgt = targets
             if cfg.optimize_exposure and "camera" in p:
                 scale = jnp.exp(p["camera"]["log_exposure"][img_idx])[:, None]
