@@ -156,6 +156,7 @@ def load_nerf(
     sharpen_amount: float = 0.0,
     downscale: int = 1,
     max_images: Optional[int] = None,
+    load_images: bool = True,
 ) -> NerfDataset:
     """Load one or more transforms.json files into a NerfDataset."""
     if isinstance(json_paths, (str, Path)):
@@ -195,8 +196,20 @@ def load_nerf(
     def load_frame(item):
         j, base, f = item
         p = resolve_path(base, f["file_path"])
+        if p is None and not load_images:
+            p = base / f["file_path"]  # poses-only: path need not exist
         if p is None:
             return None
+        if not load_images:
+            # poses/intrinsics only (converter tooling, camera paths)
+            W = int(f.get("w", j.get("w", 2)) or 2)
+            H = int(f.get("h", j.get("h", 2)) or 2)
+            img = np.zeros((2, 2, 4), np.float32)
+            intr = _intrinsics_from_json(j, f, W, H)
+            xform = nerf_matrix_to_ngp(
+                np.asarray(f["transform_matrix"], np.float32), scale, offset, from_mitsuba
+            )
+            return img, xform, intr, str(p), f.get("sharpness"), False, f.get("light_dir")
         # keep the file's native color space: LDR stays sRGB (the reference
         # trains directly in sRGB, linear_colors=false), EXR stays linear
         img = image_io.read_image(p, linear=False)
