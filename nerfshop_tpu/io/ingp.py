@@ -1,0 +1,211 @@
+"""`.ingp` snapshot interop with the Instant-NGP / NeRFshop ecosystem.
+
+Format (reference: Testbed::export_snapshot / load_snapshot,
+src/testbed.cu:3054-3183): a msgpack encoding of the network-config JSON
+tree with a ``snapshot`` key added; ``.ingp`` files wrap the msgpack stream
+in zlib (zstr). The snapshot carries:
+
+* ``version`` (1), ``training_step``, ``loss``
+* ``density_grid_size`` (128) and ``density_grid_binary`` — fp16 density
+  grid, (max_cascade+1)·128³ entries, morton-ordered per the reference's
+  grid layout (ours is row-major [C,R,R,R]; we convert on the way in/out)
+* ``params_type`` ("__half") / ``params_binary`` — the tcnn parameter blob
+  in the reference's order (NerfNetworkFull::set_params,
+  nerf_network_full.h:316-349): density MLP, rgb MLP, hash-grid table,
+  dir encoding (0 params for SH)
+* ``nerf.aabb_scale`` and camera/aabb metadata.
+
+tcnn layer blobs are row-major [n_out, n_in] with output widths padded to
+16 (the rgb network's 3 outputs ship as 16 rows, 13 of them zero).
+
+Round-trips through this module are exact; interop with snapshots written
+by the CUDA reference follows the same documented layout but has not been
+validated against original binaries (none are redistributable here).
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+SNAPSHOT_FORMAT_VERSION = 1
+GRID_SIZE = 128
+
+
+def _morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave 7-bit coords → morton index (reference grid layout,
+    common_nerf.h / testbed_nerf.cu morton3D)."""
+
+    def spread(v):
+        v = v.astype(np.uint32)
+        v = (v | (v << 16)) & np.uint32(0x030000FF)
+        v = (v | (v << 8)) & np.uint32(0x0300F00F)
+        v = (v | (v << 4)) & np.uint32(0x030C30C3)
+        v = (v | (v << 2)) & np.uint32(0x09249249)
+        return v
+
+    return spread(x) | (spread(y) << np.uint32(1)) | (spread(z) << np.uint32(2))
+
+
+_MORTON_CACHE: dict = {}
+
+
+def _morton_perm(res: int) -> np.ndarray:
+    """Permutation p with p[morton_idx] = row_major_idx for a res³ grid."""
+    if res not in _MORTON_CACHE:
+        ix, iy, iz = np.meshgrid(np.arange(res), np.arange(res), np.arange(res), indexing="ij")
+        m = _morton3d(ix.ravel(), iy.ravel(), iz.ravel())
+        perm = np.empty(res**3, np.int64)
+        perm[m] = np.arange(res**3)
+        _MORTON_CACHE[res] = perm
+    return _MORTON_CACHE[res]
+
+
+def _pad16(n: int) -> int:
+    return -(-n // 16) * 16
+
+
+def _mlp_to_tcnn_blob(weights) -> np.ndarray:
+    """Our MLP weights ([in, out] f32 list) → tcnn layout: per layer
+    row-major [out_padded16, in], forward order, fp16."""
+    blobs = []
+    for i, w in enumerate(weights):
+        w = np.asarray(w, np.float32)
+        out_dim = w.shape[1]
+        out_pad = _pad16(out_dim)
+        m = np.zeros((out_pad, w.shape[0]), np.float32)
+        m[:out_dim] = w.T
+        blobs.append(m.reshape(-1))
+    return np.concatenate(blobs)
+
+
+def _mlp_from_tcnn_blob(blob: np.ndarray, layer_dims) -> Tuple[list, int]:
+    """Inverse of _mlp_to_tcnn_blob. → (weights list, consumed floats)."""
+    ws, off = [], 0
+    for fan_in, fan_out in layer_dims:
+        out_pad = _pad16(fan_out)
+        n = out_pad * fan_in
+        m = blob[off : off + n].reshape(out_pad, fan_in)
+        ws.append(np.ascontiguousarray(m[:fan_out].T, np.float32))
+        off += n
+    return ws, off
+
+
+def pack_params(model, params) -> np.ndarray:
+    """Parameter pytree → tcnn-ordered fp16 blob (density MLP, rgb MLP,
+    grid table row-major [T, F] with F fastest)."""
+    parts = [
+        _mlp_to_tcnn_blob(params["density_mlp"]["weights"]),
+        _mlp_to_tcnn_blob(params["rgb_mlp"]["weights"]),
+        np.asarray(params["pos_encoding"]["table"], np.float32).reshape(-1),
+    ]
+    return np.concatenate(parts).astype(np.float16)
+
+
+def unpack_params(model, blob: np.ndarray, params_template) -> dict:
+    blob = np.asarray(blob, np.float32)
+    dens, off1 = _mlp_from_tcnn_blob(blob, model.density_mlp.layer_dims)
+    rgb, off2 = _mlp_from_tcnn_blob(blob[off1:], model.rgb_mlp.layer_dims)
+    table_shape = np.asarray(params_template["pos_encoding"]["table"]).shape
+    n_table = int(np.prod(table_shape))
+    table = blob[off1 + off2 : off1 + off2 + n_table].reshape(table_shape)
+    import jax.numpy as jnp
+
+    out = dict(params_template)
+    out["density_mlp"] = {"weights": [jnp.asarray(w) for w in dens]}
+    out["rgb_mlp"] = {"weights": [jnp.asarray(w) for w in rgb]}
+    out["pos_encoding"] = {"table": jnp.asarray(table)}
+    return out
+
+
+def export_ingp(
+    path: str,
+    network_config: dict,
+    model,
+    params,
+    density_grid: Optional[np.ndarray] = None,  # [C, R, R, R]
+    aabb_scale: int = 1,
+    training_step: int = 0,
+    loss: float = 0.0,
+    compress: bool = True,
+) -> None:
+    import msgpack
+
+    cfg = json.loads(json.dumps(dict(network_config)))  # deep, json-clean
+    blob = pack_params(model, params)
+    snapshot = {
+        "version": SNAPSHOT_FORMAT_VERSION,
+        "params_type": "__half",
+        "n_params": int(blob.size),
+        "params_binary": blob.tobytes(),
+        "training_step": int(training_step),
+        "loss": float(loss),
+        "nerf": {
+            "aabb_scale": int(aabb_scale),
+            "rgb": {
+                "rays_per_batch": 4096,
+                "measured_batch_size": 1 << 18,
+                "measured_batch_size_before_compaction": 1 << 18,
+            },
+        },
+    }
+    if density_grid is not None:
+        C = density_grid.shape[0]
+        perm = _morton_perm(GRID_SIZE)
+        flat = np.asarray(density_grid, np.float32).reshape(C, -1)
+        morton = flat[:, perm]  # row-major → morton per cascade
+        snapshot["density_grid_size"] = GRID_SIZE
+        snapshot["density_grid_binary"] = morton.astype(np.float16).tobytes()
+    cfg["snapshot"] = snapshot
+
+    raw = msgpack.packb(cfg, use_bin_type=True)
+    if str(path).endswith(".ingp") and compress:
+        raw = zlib.compress(raw)
+    with open(path, "wb") as fh:
+        fh.write(raw)
+
+
+def load_ingp(path: str) -> dict:
+    """→ the decoded config dict (with 'snapshot'); raw bytes decoded,
+    zlib-unwrapped if needed."""
+    import msgpack
+
+    raw = open(path, "rb").read()
+    if raw[:1] == b"\x78":  # zlib header
+        raw = zlib.decompress(raw)
+    return msgpack.unpackb(raw, raw=False, strict_map_key=False)
+
+
+def import_ingp(path: str, model, params_template) -> dict:
+    """Load an .ingp snapshot into our structures.
+
+    → {"params": pytree, "density_grid": [C,R,R,R] or None,
+       "training_step", "loss", "aabb_scale", "config"}."""
+    cfg = load_ingp(path)
+    snap = cfg.get("snapshot")
+    if snap is None:
+        raise ValueError(f"{path} contains no snapshot")
+    blob = np.frombuffer(snap["params_binary"], np.float16)
+    params = unpack_params(model, blob, params_template)
+
+    density_grid = None
+    if "density_grid_binary" in snap:
+        res = int(snap.get("density_grid_size", GRID_SIZE))
+        dg = np.frombuffer(snap["density_grid_binary"], np.float16).astype(np.float32)
+        C = dg.size // res**3
+        perm = _morton_perm(res)
+        rm = np.empty_like(dg.reshape(C, -1))
+        rm[:, perm] = dg.reshape(C, -1)  # rowmajor[perm[m]] = morton[m]
+        density_grid = rm.reshape(C, res, res, res)
+
+    return {
+        "params": params,
+        "density_grid": density_grid,
+        "training_step": int(snap.get("training_step", 0)),
+        "loss": float(snap.get("loss", 0.0)),
+        "aabb_scale": int(snap.get("nerf", {}).get("aabb_scale", 1)),
+        "config": cfg,
+    }

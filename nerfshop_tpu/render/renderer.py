@@ -214,41 +214,38 @@ def _render_chunk(
     return rgba, depth
 
 
-def _make_frame_fn(model, resolution, opts: RenderOptions):
-    """Compiled whole-frame program: rays → lax.map over pixel chunks."""
+def _make_chunk_fn(model, opts: RenderOptions):
+    """Compiled per-chunk program: rays [chunk] → rgba/depth. One dispatch
+    per chunk keeps any single device program bounded (~1 s) — a whole-frame
+    ``lax.map`` program at 1080p ran for minutes and tripped the TPU-worker
+    watchdog; per-dispatch overhead is ~50 µs so looping costs nothing."""
+
+    def chunk_fn(params, grid, origins, dirs, bg, operators, envmap):
+        return _render_chunk(model, params, grid, origins, dirs, opts, bg, operators, envmap)
+
+    return jax.jit(chunk_fn)
+
+
+def _make_rays_fn(resolution):
     W, H = resolution
 
-    def frame_fn(params, grid, xform, focal, principal, distortion, subpixel_jitter, bg, operators, envmap):
+    def rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad):
         bundle = rays_lib.rays_for_image(
             (W, H), xform, focal, principal, distortion, subpixel_jitter
         )
-        n = W * H
-        chunk = min(opts.chunk, n)
-        n_pad = (-n) % chunk
         origins = jnp.concatenate([bundle.origins, jnp.zeros((n_pad, 3))])
         dirs = jnp.concatenate(
             [bundle.directions, jnp.ones((n_pad, 3)) * jnp.asarray([0.0, 0.0, 1.0])]
         )
+        return origins.reshape(-1, chunk, 3), dirs.reshape(-1, chunk, 3)
 
-        def body(chunk_in):
-            o, d = chunk_in
-            return _render_chunk(model, params, grid, o, d, opts, bg, operators, envmap)
-
-        rgba, depth = jax.lax.map(
-            body,
-            (origins.reshape(-1, chunk, 3), dirs.reshape(-1, chunk, 3)),
-        )
-        rgba = rgba.reshape(-1, 4)[:n].reshape(H, W, 4)
-        depth = depth.reshape(-1)[:n].reshape(H, W)
-        return rgba, depth
-
-    return jax.jit(frame_fn)
+    return jax.jit(rays_fn, static_argnames=("chunk", "n_pad"))
 
 
-#: compiled-frame cache: (id(model), resolution, opts, has_distortion,
-#: has_jitter, operator treedef) → jitted fn. Keyed by id(model) because
-#: models are plain dataclasses; they are immutable in practice.
-_FRAME_FN_CACHE: dict = {}
+#: compiled-fn caches keyed by id(model)/opts/shapes. Keyed by id(model)
+#: because models are plain dataclasses; they are immutable in practice.
+_CHUNK_FN_CACHE: dict = {}
+_RAYS_FN_CACHE: dict = {}
 
 
 def render_frame(
@@ -265,23 +262,36 @@ def render_frame(
     operators: tuple = (),
     envmap: Optional[jnp.ndarray] = None,
 ) -> FrameOutput:
-    """Render one frame as ONE jitted program (chunked internally by
-    ``lax.map`` so peak memory stays bounded at any resolution)."""
+    """Render one frame, chunked over pixels; compiled chunk programs are
+    cached so arbitrary resolutions reuse the same executable."""
     W, H = resolution
     principal = jnp.asarray([0.5, 0.5]) if principal is None else principal
     bg = jnp.asarray(opts.background, jnp.float32)
     operators = tuple(operators)
     op_kinds = tuple(type(op).__name__ for op in operators)
-    key = (
-        id(model), (W, H), opts, distortion is not None,
-        subpixel_jitter is not None, op_kinds, envmap is not None,
-    )
-    fn = _FRAME_FN_CACHE.get(key)
-    if fn is None:
-        fn = _make_frame_fn(model, (W, H), opts)
-        _FRAME_FN_CACHE[key] = fn
-    rgba, depth = fn(
-        params, grid, xform, focal, principal, distortion, subpixel_jitter, bg,
-        operators, envmap,
-    )
+
+    n = W * H
+    chunk = min(opts.chunk, n)
+    n_pad = (-n) % chunk
+
+    rkey = (W, H, distortion is not None, subpixel_jitter is not None)
+    rays_fn = _RAYS_FN_CACHE.get(rkey)
+    if rays_fn is None:
+        rays_fn = _make_rays_fn((W, H))
+        _RAYS_FN_CACHE[rkey] = rays_fn
+    origins, dirs = rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad)
+
+    ckey = (id(model), opts, chunk, op_kinds, envmap is not None)
+    chunk_fn = _CHUNK_FN_CACHE.get(ckey)
+    if chunk_fn is None:
+        chunk_fn = _make_chunk_fn(model, opts)
+        _CHUNK_FN_CACHE[ckey] = chunk_fn
+
+    rgba_chunks, depth_chunks = [], []
+    for i in range((n + n_pad) // chunk):
+        rgba_c, depth_c = chunk_fn(params, grid, origins[i], dirs[i], bg, operators, envmap)
+        rgba_chunks.append(rgba_c)
+        depth_chunks.append(depth_c)
+    rgba = jnp.concatenate(rgba_chunks)[:n].reshape(H, W, 4)
+    depth = jnp.concatenate(depth_chunks)[:n].reshape(H, W)
     return FrameOutput(rgba, depth)

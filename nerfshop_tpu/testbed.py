@@ -503,6 +503,20 @@ class Testbed:
     # --------------------------------------------------------------- snapshots
 
     def save_snapshot(self, path: str, include_optimizer_state: bool = True) -> None:
+        if str(path).endswith((".ingp", ".msgpack")):
+            from nerfshop_tpu.io import ingp as ingp_lib
+
+            ingp_lib.export_ingp(
+                path,
+                self._network_config,
+                self._model,
+                self._state.inference_params,
+                density_grid=np.asarray(self._grid.density) if self._grid is not None else None,
+                aabb_scale=self._dataset.aabb_scale if self._dataset else 1,
+                training_step=self.stats.step,
+                loss=self.stats.loss,
+            )
+            return
         from nerfshop_tpu.io import snapshot as snap_lib
 
         metadata = None
@@ -532,6 +546,42 @@ class Testbed:
 
         from nerfshop_tpu.io import snapshot as snap_lib
         from nerfshop_tpu.ops import grid as grid_lib
+
+        if str(path).endswith((".ingp", ".msgpack")):
+            from nerfshop_tpu.io import ingp as ingp_lib
+
+            cfg = ingp_lib.load_ingp(path)
+            snap = cfg.get("snapshot", {})
+            self._network_config = ConfigDict(
+                {k: v for k, v in cfg.items() if k != "snapshot"}
+            )
+            if self._dataset is None and "aabb_scale" in snap.get("nerf", {}):
+                # minimal dataset context so _reset_network sizes the model
+                from nerfshop_tpu.data.nerf_loader import NerfDataset
+
+                self._dataset = NerfDataset(
+                    images=np.zeros((1, 2, 2, 4), np.float32),
+                    xforms=np.eye(4, dtype=np.float32)[None, :3],
+                    intrinsics=[],
+                    paths=[],
+                    aabb_scale=int(snap["nerf"]["aabb_scale"]),
+                )
+            self._reset_network()
+            out = ingp_lib.import_ingp(path, self._model, self._state.params)
+            self._state = self._state._replace(params=out["params"])
+            if self._state.ema_params is not None:
+                import jax
+
+                self._state = self._state._replace(
+                    ema_params=jax.tree.map(jnp.copy, out["params"])
+                )
+            if out["density_grid"] is not None and self._grid is not None:
+                dg = jnp.asarray(out["density_grid"])
+                if dg.shape[0] <= self._grid.density.shape[0]:
+                    full = self._grid.density.at[: dg.shape[0]].set(dg)
+                    self._grid = grid_lib.update_bitfield(self._grid._replace(density=full))
+            self.stats.step = out["training_step"]
+            return
 
         snap = snap_lib.load_snapshot(path)
         self.mode = TestbedMode(snap.get("mode", "nerf"))
