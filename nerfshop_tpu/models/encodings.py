@@ -277,6 +277,98 @@ class SphericalHarmonicsEncoding(Encoding):
 
 
 # ---------------------------------------------------------------------------
+# Takikawa (NGLOD) octree encoding — reference: takikawa_encoding.cuh +
+# triangle_octree.cuh. The CUDA version traverses explicit node/dual-node
+# arrays; here each depth is a hashed corner-feature table masked by the
+# octree's per-depth occupancy (features exist only where the surface is,
+# zeros outside — the same semantics traverse() produces).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TakikawaEncoding(Encoding):
+    octree: Any = None  # geometry.triangle_octree.TriangleOctree
+    n_input_dims: int = 3
+    n_levels: int = 10
+    starting_level: int = 4
+    n_features_per_level: int = 8
+    log2_hashmap_size: int = 19
+    sum_instead_of_concat: bool = False
+
+    def __post_init__(self):
+        T = 1 << self.log2_hashmap_size
+        self.level_sizes: List[int] = []
+        self.level_offsets: List[int] = [0]
+        for l in range(self.n_levels):
+            depth = self.starting_level + l
+            res = (1 << depth) + 1  # corner-vertex grid
+            size = min(T, -(-(res**3) // 8) * 8)
+            self.level_sizes.append(size)
+            self.level_offsets.append(self.level_offsets[-1] + size)
+        self.table_size = self.level_offsets[-1]
+        # device copies of the per-depth occupancy masks
+        self._masks = None
+
+    @property
+    def n_output_dims(self) -> int:
+        if self.sum_instead_of_concat:
+            return self.n_features_per_level
+        return self.n_levels * self.n_features_per_level
+
+    def init(self, rng: jax.Array):
+        return {
+            "table": jax.random.uniform(
+                rng, (self.table_size, self.n_features_per_level), jnp.float32, -1e-4, 1e-4
+            )
+        }
+
+    def _mask_arrays(self):
+        if self._masks is None:
+            ms = []
+            for l in range(self.n_levels):
+                occ = self.octree.occupancy_at_depth(self.starting_level + l)
+                ms.append(jnp.asarray(np.asarray(occ).reshape(-1)))
+            self._masks = ms
+        return self._masks
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        table = params["table"]
+        F = self.n_features_per_level
+        masks = self._mask_arrays()
+        outs = []
+        for l in range(self.n_levels):
+            depth = self.starting_level + l
+            res = 1 << depth
+            p = jnp.clip(x, 0.0, 1.0) * res
+            p0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, res - 1)
+            frac = p - p0.astype(x.dtype)
+            # node membership at this depth (dense mask, ancestor-clamped)
+            mres = int(round(masks[l].shape[0] ** (1 / 3)))
+            mc = jnp.clip((p0 * mres) // res, 0, mres - 1)
+            inside = jnp.take(
+                masks[l], (mc[:, 0] * mres + mc[:, 1]) * mres + mc[:, 2], axis=0
+            )
+            acc = None
+            for c in range(8):
+                off = jnp.asarray([(c >> d) & 1 for d in range(3)], jnp.int32)
+                corner = jnp.minimum(p0 + off[None], res).astype(jnp.uint32)
+                h = corner[:, 0] ^ (corner[:, 1] * jnp.uint32(_HASH_PRIMES[1])) ^ (
+                    corner[:, 2] * jnp.uint32(_HASH_PRIMES[2])
+                )
+                idx = (h % jnp.uint32(self.level_sizes[l])).astype(jnp.int32) + self.level_offsets[l]
+                w = jnp.prod(
+                    jnp.where(off[None] == 1, frac, 1.0 - frac), axis=-1, keepdims=True
+                )
+                term = jnp.take(table, idx, axis=0) * w.astype(table.dtype)
+                acc = term if acc is None else acc + term
+            acc = jnp.where(inside[:, None], acc, 0.0)
+            outs.append(acc)
+        if self.sum_instead_of_concat:
+            return sum(outs)
+        return jnp.concatenate(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Frequency / TriangleWave / OneBlob / Identity / Composite
 # ---------------------------------------------------------------------------
 
@@ -374,8 +466,19 @@ class CompositeEncoding(Encoding):
 # ---------------------------------------------------------------------------
 
 
-def build_encoding(cfg: dict, n_input_dims: int, per_level_scale: Optional[float] = None) -> Encoding:
+def build_encoding(cfg: dict, n_input_dims: int, per_level_scale: Optional[float] = None, octree=None) -> Encoding:
     otype = cfg.get("otype", "HashGrid")
+    if otype == "Takikawa":
+        if octree is None:
+            raise ValueError("Takikawa encoding requires an octree (built from the scene mesh)")
+        return TakikawaEncoding(
+            octree=octree,
+            n_levels=cfg.get("n_levels", 10),
+            starting_level=cfg.get("starting_level", 4),
+            n_features_per_level=cfg.get("n_features_per_level", 8),
+            log2_hashmap_size=cfg.get("log2_hashmap_size", 19),
+            sum_instead_of_concat=cfg.get("sum_instead_of_concat", False),
+        )
     if otype in ("HashGrid", "DenseGrid", "TiledGrid", "Grid"):
         return GridEncoding(
             n_input_dims=n_input_dims,

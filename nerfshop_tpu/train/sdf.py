@@ -35,8 +35,18 @@ class SdfModel:
     network: mlp_lib.MLP
 
     @staticmethod
-    def from_config(config: dict) -> "SdfModel":
-        e = enc.build_encoding(dict(config.get("encoding", {})), 3)
+    def from_config(config: dict, mesh=None) -> "SdfModel":
+        enc_cfg = dict(config.get("encoding", {}))
+        octree = None
+        if enc_cfg.get("otype") == "Takikawa":
+            # S3: octree over the scene mesh feeds the Takikawa encoding
+            from nerfshop_tpu.geometry.triangle_octree import TriangleOctree
+
+            if mesh is None:
+                raise ValueError("Takikawa SDF config requires a mesh")
+            depth = enc_cfg.get("starting_level", 4) + enc_cfg.get("n_levels", 10)
+            octree = TriangleOctree.build(mesh[0], mesh[1], depth)
+        e = enc.build_encoding(enc_cfg, 3, octree=octree)
         net = mlp_lib.build_network(dict(config.get("network", {})), e.n_output_dims, 1)
         return SdfModel(e, net)
 
@@ -68,17 +78,22 @@ class SdfTestbed:
 
     @staticmethod
     def create(config: dict, mesh, rng) -> "SdfTestbed":
-        from nerfshop_tpu.geometry import bvh as bvh_lib
-
-        model = SdfModel.from_config(config)
         spec = optim.build_optimizer(dict(config.get("optimizer", {"otype": "Adam", "learning_rate": 1e-2})))
         k1, k2 = jax.random.split(rng)
-        state = optim.create_train_state(model.init(k1), spec)
         loss_fn = loss_lib.build_loss(dict(config.get("loss", {"otype": "Mape"})))
-
-        tb = SdfTestbed(model=model, spec=spec, state=state, loss_fn=loss_fn, rng=k2)
+        needs_octree = dict(config.get("encoding", {})).get("otype") == "Takikawa"
+        if needs_octree and mesh is None:
+            raise ValueError("Takikawa SDF config requires a mesh")
+        # build after normalization so the octree sees unit-cube coordinates
+        model = None
+        if not needs_octree:
+            model = SdfModel.from_config(config)
+        tb = SdfTestbed(model=model, spec=spec, state=None, loss_fn=loss_fn, rng=k2)
         if mesh is not None:
             tb.set_mesh(mesh)
+        if needs_octree:
+            tb.model = SdfModel.from_config(config, mesh=(tb._mesh_vertices, tb._mesh_faces))
+        tb.state = optim.create_train_state(tb.model.init(k1), spec)
         return tb
 
     def set_mesh(self, mesh) -> None:
