@@ -108,24 +108,27 @@ def ngp_matrix_to_nerf(m: np.ndarray, scale: float, offset: np.ndarray, from_mit
     return m
 
 
-def _intrinsics_from_json(j: dict, frame: dict, W: int, H: int) -> CameraIntrinsics:
+def _intrinsics_from_json(j: dict, frame: dict, W: int, H: int, downscale: int = 1) -> CameraIntrinsics:
     def get(key, default=None):
         return frame.get(key, j.get(key, default))
 
+    # explicit pixel-unit intrinsics from the json are in ORIGINAL pixels;
+    # W/H here are post-downscale
+    ds = float(downscale)
     if get("fl_x") is not None:
-        fl_x = float(get("fl_x"))
+        fl_x = float(get("fl_x")) / ds
     elif get("camera_angle_x") is not None:
         fl_x = 0.5 * W / math.tan(0.5 * float(get("camera_angle_x")))
     else:
         fl_x = 0.5 * W  # 90° fallback
     if get("fl_y") is not None:
-        fl_y = float(get("fl_y"))
+        fl_y = float(get("fl_y")) / ds
     elif get("camera_angle_y") is not None:
         fl_y = 0.5 * H / math.tan(0.5 * float(get("camera_angle_y")))
     else:
         fl_y = fl_x
-    cx = float(get("cx", W / 2.0)) / W
-    cy = float(get("cy", H / 2.0)) / H
+    cx = (float(get("cx")) / ds / W) if get("cx") is not None else 0.5
+    cy = (float(get("cy")) / ds / H) if get("cy") is not None else 0.5
     dist = np.array(
         [float(get("k1", 0.0)), float(get("k2", 0.0)), float(get("p1", 0.0)), float(get("p2", 0.0))],
         np.float32,
@@ -220,7 +223,7 @@ def load_nerf(
         if downscale > 1:
             img = img[::downscale, ::downscale]
         H, W = img.shape[:2]
-        intr = _intrinsics_from_json(j, f, W, H)
+        intr = _intrinsics_from_json(j, f, W, H, downscale)
         xform = nerf_matrix_to_ngp(np.asarray(f["transform_matrix"], np.float32), scale, offset, from_mitsuba)
         sharp = f.get("sharpness", None)
         is_hdr = p.suffix.lower() in (".exr", ".bin")

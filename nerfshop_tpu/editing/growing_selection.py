@@ -142,26 +142,37 @@ class GrowingSelection:
 
     def vanish(self, grid):
         """Vanish!: zero density+occupancy in cells intersecting the deformed
-        tets (E15, TetMesh::vanish tet_mesh.cu:251-363). Returns new grid."""
+        tets (E15, TetMesh::vanish tet_mesh.cu:251-363). Returns new grid.
+
+        Uses the native threaded tet-accurate kernel (point-in-tet per cell
+        center, like the reference); numpy bbox clearing is the fallback —
+        coarser (clears the tets' bounding boxes) but conservative."""
         import jax.numpy as jnp
 
+        from nerfshop_tpu import native
         from nerfshop_tpu.ops import grid as grid_lib
 
         assert self.tet_mesh is not None
-        verts = self.tet_mesh.vertices_deformed[self.tet_mesh.tets]  # [Nt,4,3]
-        density = np.asarray(grid.density)
+        tm = self.tet_mesh
+        density = np.array(grid.density)  # host copy
         C = density.shape[0]
-        Rg = 128
+        Rg = density.shape[1]
         for mip in range(C):
             scale = 2.0**mip
             lo = 0.5 - scale / 2
             cell_w = scale / Rg
-            tl = np.clip(np.floor((verts.min(1) - lo) / cell_w).astype(int) - 1, 0, Rg - 1)
-            th = np.clip(np.floor((verts.max(1) - lo) / cell_w).astype(int) + 1, 0, Rg - 1)
-            for ti in range(len(verts)):
-                x0, y0, z0 = tl[ti]
-                x1, y1, z1 = th[ti]
-                density[mip, x0 : x1 + 1, y0 : y1 + 1, z0 : z1 + 1] = 0.0
+            ok = native.clear_cells_in_tets(
+                tm.vertices_deformed, tm.tets, Rg, lo, cell_w, density[mip]
+            )
+            if ok is None:
+                # numpy fallback: clear per-tet bounding boxes (conservative)
+                verts = tm.vertices_deformed[tm.tets]
+                tl = np.clip(np.floor((verts.min(1) - lo) / cell_w).astype(int) - 1, 0, Rg - 1)
+                th = np.clip(np.floor((verts.max(1) - lo) / cell_w).astype(int) + 1, 0, Rg - 1)
+                for ti in range(len(verts)):
+                    x0, y0, z0 = tl[ti]
+                    x1, y1, z1 = th[ti]
+                    density[mip, x0 : x1 + 1, y0 : y1 + 1, z0 : z1 + 1] = 0.0
         new = grid._replace(density=jnp.asarray(density))
         return grid_lib.update_bitfield(new)
 

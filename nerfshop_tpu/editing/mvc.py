@@ -67,9 +67,16 @@ def mvc_weights(points: jnp.ndarray, cage_v: jnp.ndarray, cage_f: jnp.ndarray) -
     # x inside the triangle's plane but outside the triangle → contribution 0
     coplanar_out = (jnp.abs(s0) <= 1e-6) | (jnp.abs(s1) <= 1e-6) | (jnp.abs(s2) <= 1e-6)
 
-    w0 = (th0 - c1 * th2 - c2 * th1) / jnp.maximum(r0 * jnp.sin(th1) * s2, _EPS)
-    w1 = (th1 - c2 * th0 - c0 * th2) / jnp.maximum(r1 * jnp.sin(th2) * s0, _EPS)
-    w2 = (th2 - c0 * th1 - c1 * th0) / jnp.maximum(r2 * jnp.sin(th0) * s1, _EPS)
+    def safe_div(num, den):
+        # sign-preserving: s_i is NEGATIVE for triangles seen back-facing
+        # (any concave cage) — clamping the denominator to +eps destroys the
+        # sign and with it MVC's linear precision off convex cages
+        mag = jnp.maximum(jnp.abs(den), _EPS)
+        return num / (jnp.where(den < 0, -mag, mag))
+
+    w0 = safe_div(th0 - c1 * th2 - c2 * th1, r0 * jnp.sin(th1) * s2)
+    w1 = safe_div(th1 - c2 * th0 - c0 * th2, r1 * jnp.sin(th2) * s0)
+    w2 = safe_div(th2 - c0 * th1 - c1 * th0, r2 * jnp.sin(th0) * s1)
 
     # x lying ON the triangle → barycentric interpolation of just that tri
     on_tri = (jnp.pi - h) < 1e-5

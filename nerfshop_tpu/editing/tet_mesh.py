@@ -93,15 +93,33 @@ class TetMesh:
         if len(interior) > max_interior_points:
             interior = interior[rng.choice(len(interior), max_interior_points, replace=False)]
 
-        all_pts = np.concatenate([cv, interior]).astype(np.float64)
+        # boundary refinement: points just INSIDE each cage face (centers +
+        # edge midpoints pushed along −normal) so concave boundaries get
+        # hugging tets — Delaunay + centroid culling alone leaves coverage
+        # holes at concavities (TetGen's constrained tetrahedralization is
+        # conforming by construction; this recovers that property to within
+        # a fraction of the ideal edge)
+        fv = cv[cage.faces]  # [F, 3, 3]
+        fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+        fn /= np.linalg.norm(fn, axis=1, keepdims=True) + 1e-12
+        push = 0.25 * ideal_edge
+        face_pts = [fv.mean(1) - fn * push]
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            face_pts.append((fv[:, a] + fv[:, b]) / 2 - fn * push)
+        face_pts = np.concatenate(face_pts).astype(np.float32)
+        sd_f = np.asarray(bvh_lib.signed_distance(bvh, jnp.asarray(face_pts)))
+        face_pts = face_pts[sd_f < 0]
+
+        all_pts = np.concatenate([cv, interior, face_pts]).astype(np.float64)
         dela = Delaunay(all_pts)
         tets = dela.simplices.astype(np.int32)
 
-        # keep tets whose centroid is inside the cage (Delaunay of the point
-        # set also covers the convex hull outside a non-convex cage)
+        # keep tets whose centroid is inside the cage, with a small tolerance
+        # halo (a slightly-outside sliver tet at a concave crease beats a
+        # coverage hole — the warp there is MVC-smooth and bounded)
         cent = all_pts[tets].mean(1).astype(np.float32)
         sd_c = np.asarray(bvh_lib.signed_distance(bvh, jnp.asarray(cent)))
-        tets = tets[sd_c < 0]
+        tets = tets[sd_c < 0.05 * ideal_edge]
 
         # drop degenerate tets
         v = all_pts[tets]
@@ -216,13 +234,29 @@ class TetMesh:
             cells[ci, :k] = lst[:k]
         return lo.astype(np.float32), inv_cell.astype(np.float32), cells, max_seen
 
+    def _voxelize_full(self, verts: np.ndarray, res: int, max_t: int, max_t_cap: int = 256):
+        """Voxelize, growing the fanout until nothing truncates (the
+        reference tracks max_tet_lookup, tet_mesh.h:69 — silently dropping
+        candidate tets makes warps miss containing tets)."""
+        while True:
+            lo, ic, cells, max_seen = self._voxelize(verts, res, max_t)
+            if max_seen <= max_t or max_t >= max_t_cap:
+                if max_seen > max_t:
+                    import warnings
+
+                    warnings.warn(
+                        f"tet LUT fanout {max_seen} exceeds cap {max_t}; some cells truncate"
+                    )
+                return lo, ic, cells
+            max_t = min(max(max_seen, max_t * 2), max_t_cap)
+
     def build_luts(self, res: int = LUT_RES_DEFAULT, max_t: int = MAX_TETS_PER_CELL):
         """→ (deformed LUT, original LUT) as device pytrees
         (build_tet_grid / build_original_tet_grid, tet_mesh.cu:369/77)."""
         import jax.numpy as jnp
 
-        lo_d, ic_d, cells_d, _ = self._voxelize(self.vertices_deformed, res, max_t)
-        lo_o, ic_o, cells_o, _ = self._voxelize(self.vertices_original, res, max_t)
+        lo_d, ic_d, cells_d = self._voxelize_full(self.vertices_deformed, res, max_t)
+        lo_o, ic_o, cells_o = self._voxelize_full(self.vertices_original, res, max_t)
         lut_d = TetLut(jnp.asarray(lo_d), jnp.asarray(ic_d), jnp.asarray(cells_d), res)
         lut_o = TetLut(jnp.asarray(lo_o), jnp.asarray(ic_o), jnp.asarray(cells_o), res)
         return lut_d, lut_o

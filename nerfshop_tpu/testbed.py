@@ -158,13 +158,13 @@ class Testbed:
 
     # ------------------------------------------------------------------- data
 
-    def load_training_data(self, path: str) -> None:
+    def load_training_data(self, path: str, downscale: int = 1) -> None:
         path = Path(path)
         if self.mode == TestbedMode.Nerf:
             from nerfshop_tpu.data import nerf_loader
 
             json_path = path if path.suffix == ".json" else path / "transforms.json"
-            self._dataset = nerf_loader.load_nerf(json_path)
+            self._dataset = nerf_loader.load_nerf(json_path, downscale=downscale)
             self.nerf.training.n_images_for_training = self._dataset.n_images
             self._reset_network()
         elif self.mode == TestbedMode.Image:
@@ -176,6 +176,11 @@ class Testbed:
             from nerfshop_tpu.geometry import mesh_io
 
             self._sdf_mesh = mesh_io.load_mesh(path)
+            self._reset_network()
+        elif self.mode == TestbedMode.Volume:
+            from nerfshop_tpu.data import volume_io
+
+            self._volume_grid = volume_io.load_volume(path)
             self._reset_network()
         else:
             raise NotImplementedError(f"load_training_data for {self.mode}")
@@ -268,20 +273,11 @@ class Testbed:
 
             assert self._dataset is not None, "load_training_data first"
             if self._step_fn is None:
-                # rays per step so that rays·K ≈ batch_size
-                n_rays = max(256, batch_size // self._train_cfg.k_samples)
-                self._train_cfg = nerf_train.NerfTrainConfig(
-                    **{
-                        **self._train_cfg.__dict__,
-                        "n_rays_per_batch": n_rays,
-                        "use_error_map": bool(self.nerf.training.use_error_map),
-                    }
-                )
-                self._step_fn = jax.jit(
-                    nerf_train.make_train_step(self._model, self._spec, self._train_cfg),
-                    donate_argnums=(0,),
-                )
-                self._grid_update_fn = nerf_train.make_grid_update(self._model, self._train_cfg)
+                # rays per step so that rays·K ≈ batch_size; adaptive
+                # doubling below re-selects a bucket when rays under-fill
+                self._rays_base = max(256, batch_size // self._train_cfg.k_samples)
+                self._rays_bucket = 0
+                self._build_step_fn(self._rays_base)
                 if self._train_cfg.use_error_map:
                     self._error_map = nerf_train.create_error_map(
                         self._dataset.n_images, self._train_cfg.error_map_resolution
@@ -308,6 +304,21 @@ class Testbed:
             loss = float(aux["loss"])
             self.stats.loss = loss
             self.stats.measured_batch_size = int(aux["measured_samples"])
+            # adaptive rays/batch (reference: Counters::update_after_training,
+            # testbed_nerf.cu:3668 — rays scaled so measured samples ≈ the
+            # target batch). Static shapes → pick among power-of-two buckets;
+            # each bucket's compiled step is cached by jit.
+            if self.stats.step >= 256:
+                n_rays = self._train_cfg.n_rays_per_batch
+                util = self.stats.measured_batch_size / max(
+                    n_rays * self._train_cfg.k_samples, 1
+                )
+                if util < 0.45 and self._rays_bucket < 2:
+                    self._rays_bucket += 1
+                    self._build_step_fn(self._rays_base << self._rays_bucket)
+                elif util > 0.95 and self._rays_bucket > 0:
+                    self._rays_bucket -= 1
+                    self._build_step_fn(self._rays_base << self._rays_bucket)
         elif self.mode == TestbedMode.Image:
             from nerfshop_tpu.train import image as image_mod
             from nerfshop_tpu.train import losses
@@ -341,6 +352,25 @@ class Testbed:
             raise NotImplementedError(self.mode)
         self.stats.training_ms = (time.perf_counter() - t_start) * 1e3
         return loss
+
+    def _build_step_fn(self, n_rays: int) -> None:
+        """(Re)compile the train step for a ray-count bucket."""
+        import jax
+
+        from nerfshop_tpu.train import nerf as nerf_train
+
+        self._train_cfg = nerf_train.NerfTrainConfig(
+            **{
+                **self._train_cfg.__dict__,
+                "n_rays_per_batch": n_rays,
+                "use_error_map": bool(self.nerf.training.use_error_map),
+            }
+        )
+        self._step_fn = jax.jit(
+            nerf_train.make_train_step(self._model, self._spec, self._train_cfg),
+            donate_argnums=(0,),
+        )
+        self._grid_update_fn = nerf_train.make_grid_update(self._model, self._train_cfg)
 
     def frame(self) -> bool:
         """One headless 'frame': train if enabled (reference frame loop)."""
@@ -489,6 +519,13 @@ class Testbed:
                 jax.image.resize(jnp.asarray(img), (height, width, 4), "linear")
             )
         return img
+
+    def load_camera_path(self, path: str) -> None:
+        """Load a keyframed camera path (reference: Testbed::load_camera_path,
+        src/testbed.cu:3185)."""
+        from nerfshop_tpu.render.camera_path import CameraPath
+
+        self.camera_path = CameraPath.load(path)
 
     def screenshot(self, path: str, width: int = 1920, height: int = 1080, spp: int = 8) -> np.ndarray:
         from nerfshop_tpu.data import image_io

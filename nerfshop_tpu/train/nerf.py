@@ -45,15 +45,23 @@ class DeviceDataset(NamedTuple):
     focals: jnp.ndarray  # [N, 2]
     principals: jnp.ndarray  # [N, 2]
     distortions: jnp.ndarray  # [N, 4]
+    #: per-image sharpness weight (mean-normalized variance of Laplacian;
+    #: weights the error-map deposit like the reference's ×sharpness, T7)
+    sharpness: Optional[jnp.ndarray] = None  # [N]
 
     @staticmethod
     def from_dataset(ds) -> "DeviceDataset":
+        sharp = None
+        if getattr(ds, "sharpness", None) is not None:
+            s = np.asarray(ds.sharpness, np.float32)
+            sharp = jnp.asarray(s / max(float(s.mean()), 1e-9))
         return DeviceDataset(
             images=jnp.asarray(ds.images),
             xforms=jnp.asarray(ds.xforms),
             focals=jnp.asarray(ds.focal_matrix()),
             principals=jnp.asarray(ds.principal_matrix()),
             distortions=jnp.asarray(ds.distortion_matrix()),
+            sharpness=sharp,
         )
 
 
@@ -102,12 +110,20 @@ def nerf_loss_fn(
     aabb: coords.BoundingBox,
     loss_fn: Callable,
     min_transmittance: float,
+    near_distance: float = 0.0,
+    mean_grid_density: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
+    from nerfshop_tpu.common import NERF_MIN_OPTICAL_THICKNESS
+    from nerfshop_tpu.models import nerf_network as nn_lib
+
     R, K = samples.t.shape
     pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
-    rgb, sigma = model(params, pos_w.reshape(R * K, 3), dir_w.reshape(R * K, 3))
-    rgb = rgb.reshape(R, K, 3)
-    sigma = sigma.reshape(R, K)
+    raw_rgb, raw_sigma = model.raw_forward(
+        params, pos_w.reshape(R * K, 3), dir_w.reshape(R * K, 3)
+    )
+    rgb = nn_lib.rgb_activation_fn(raw_rgb, model.rgb_activation).reshape(R, K, 3)
+    sigma = nn_lib.density_activation_fn(raw_sigma, model.density_activation).reshape(R, K)
+    raw_sigma = raw_sigma.reshape(R, K)
 
     res = comp.composite(sigma, rgb, samples.dt, samples.t, samples.valid, min_transmittance)
     pred = comp.composite_with_background(res, bg_color)
@@ -115,6 +131,26 @@ def nerf_loss_fn(
 
     per_ray = jnp.mean(loss_fn(target_rgb, pred), axis=-1)
     loss = jnp.mean(per_ray)
+
+    # --- output regularizers + near-distance penalty (reference:
+    # compute_loss_kernel_train_nerf, testbed_nerf.cu:1891-1937) ---
+    valid_f = samples.valid.astype(jnp.float32)
+    # HDR color: one-sided L2 on too-large raw outputs (grad = 1e-4·raw⁺)
+    if model.rgb_activation == "exponential":
+        loss = loss + 1e-4 * 0.5 * jnp.sum(
+            jnp.square(jax.nn.relu(raw_rgb.reshape(R, K, 3))) * valid_f[..., None]
+        ) / R
+    # early-training density floor: while the grid is still empty, push
+    # negative raw densities up (grad = −1e-4 where raw < 0)
+    if mean_grid_density is not None:
+        l1_on = (mean_grid_density < NERF_MIN_OPTICAL_THICKNESS).astype(jnp.float32)
+        loss = loss + l1_on * 1e-4 * jnp.sum(jax.nn.relu(-raw_sigma) * valid_f) / R
+    # near-distance suppression: samples closer than near_distance along the
+    # ray get pushed transparent (grad = +1e-4 on raw σ > −10)
+    if near_distance > 0:
+        near_mask = (samples.t < near_distance) & samples.valid & (raw_sigma > -10.0)
+        loss = loss + 1e-4 * jnp.sum(jnp.where(near_mask, raw_sigma, 0.0)) / R
+
     aux = {
         "loss": loss,
         "per_ray_loss": jax.lax.stop_gradient(per_ray),
@@ -164,10 +200,13 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
             img_idx, pix, data.xforms, data.focals, data.principals, res,
             data.distortions, jax.lax.stop_gradient(cam0) if cam0 else None,
         )
+        # march from the render near plane (0.05); the near-distance PENALTY
+        # (not exclusion) handles [0.05, cfg.near_distance) — reference
+        # samples there too and pushes density down (testbed_nerf.cu:1937)
         samples = march.march_rays_training(
             bundle0.origins, bundle0.directions, grid.occupancy,
             aabb.min, aabb.max, jnp.asarray(cfg.cone_angle),
-            rng=k_march, t_start_min=cfg.near_distance,
+            rng=k_march, t_start_min=min(0.05, cfg.near_distance),
             k_samples=cfg.k_samples,
         )
         bg0 = (
@@ -201,6 +240,8 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
             return nerf_loss_fn(
                 p, model, samples, bundle.origins, bundle.directions,
                 tgt, bg, aabb, loss_fn, cfg.min_transmittance,
+                near_distance=cfg.near_distance,
+                mean_grid_density=grid.mean_density,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
@@ -211,13 +252,16 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
     return grads_of
 
 
-def update_error_map(error_map: jnp.ndarray, img_idx, pix, per_ray_loss, images_shape, decay: float = 0.97) -> jnp.ndarray:
+def update_error_map(error_map: jnp.ndarray, img_idx, pix, per_ray_loss, images_shape, decay: float = 0.97, sharpness: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Deposit per-ray loss into the per-image error maps (reference:
-    error-map splat in compute_loss + CDF rebuild, testbed_nerf.cu:2620)."""
+    error-map splat in compute_loss + CDF rebuild, testbed_nerf.cu:2620),
+    optionally weighted by per-image sharpness (×sharpness in the deposit)."""
     N, H, W = images_shape[:3]
     eh, ew = error_map.shape[1:]
     ex = jnp.clip((pix[:, 0] / W * ew).astype(jnp.int32), 0, ew - 1)
     ey = jnp.clip((pix[:, 1] / H * eh).astype(jnp.int32), 0, eh - 1)
+    if sharpness is not None:
+        per_ray_loss = per_ray_loss * sharpness[img_idx]
     return (error_map * decay).at[img_idx, ey, ex].add(per_ray_loss)
 
 
@@ -238,7 +282,7 @@ def make_train_step(
             new_state = optim.apply_gradients(state, grads, spec)
             new_em = update_error_map(
                 error_map, aux.pop("img_idx"), aux.pop("pix"), aux["per_ray_loss"],
-                data.images.shape, cfg.error_map_decay,
+                data.images.shape, cfg.error_map_decay, sharpness=data.sharpness,
             )
             return new_state, aux, new_em
 

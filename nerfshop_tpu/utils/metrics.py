@@ -76,6 +76,82 @@ def ssim(a: np.ndarray, b: np.ndarray, max_val: float = 1.0) -> float:
     return float(np.mean(s))
 
 
+def _gauss1d(sigma: float) -> np.ndarray:
+    r = max(int(np.ceil(3 * sigma)), 1)
+    x = np.arange(-r, r + 1)
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    return g / g.sum()
+
+
+def _blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable gaussian blur with edge padding (per channel)."""
+    if sigma <= 0:
+        return img
+    k = _gauss1d(sigma)
+    r = len(k) // 2
+    pad = [(r, r), (r, r)] + [(0, 0)] * (img.ndim - 2)
+    p = np.pad(img, pad, mode="edge")
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    p = np.einsum("i...k,k->i...", sliding_window_view(p, len(k), axis=0), k)
+    p = np.einsum("i...k,k->i...", sliding_window_view(p, len(k), axis=1), k)
+    return p
+
+
+def flip(pred: np.ndarray, gt: np.ndarray, ppd: float = 67.0) -> float:
+    """ꟻLIP-style perceptual error (Andersson et al. 2020; the reference
+    vendors NVIDIA's implementation under scripts/flip/). This is a faithful
+    simplification: CSF-filtered YCxCz color difference (HyAB, Hunt-adjusted)
+    combined with edge/point feature differences via the paper's
+    ΔE = ΔEc^(1−ΔEf) amplification. Returns the mean FLIP value in [0, 1]."""
+    a = np.clip(np.asarray(pred, np.float64)[..., :3], 0, 1)
+    b = np.clip(np.asarray(gt, np.float64)[..., :3], 0, 1)
+
+    def srgb_to_linear(c):
+        return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+    def to_ycxcz(c):
+        lin = srgb_to_linear(c)
+        y = lin @ np.array([0.2126729, 0.7151522, 0.0721750])
+        cx = lin[..., 0] - lin[..., 1]
+        cz = lin[..., 2] - y
+        return np.stack([y, cx, cz], -1)
+
+    ya, yb = to_ycxcz(a), to_ycxcz(b)
+    # CSF as channel-specific gaussian low-pass; sigma in pixels from ppd
+    sig = 0.0047 * ppd
+    fa = np.stack([_blur(ya[..., 0], sig), _blur(ya[..., 1], 2 * sig), _blur(ya[..., 2], 4 * sig)], -1)
+    fb = np.stack([_blur(yb[..., 0], sig), _blur(yb[..., 1], 2 * sig), _blur(yb[..., 2], 4 * sig)], -1)
+    # Hunt adjustment: chroma scaled by luminance
+    la = np.clip(fa[..., 0:1], 0, 1)
+    lb = np.clip(fb[..., 0:1], 0, 1)
+    ca = np.concatenate([fa[..., 0:1], fa[..., 1:] * la], -1)
+    cb = np.concatenate([fb[..., 0:1], fb[..., 1:] * lb], -1)
+    # HyAB: |ΔL| + ||Δchroma||
+    de_c = np.abs(ca[..., 0] - cb[..., 0]) + np.linalg.norm(ca[..., 1:] - cb[..., 1:], axis=-1)
+    de_c = np.clip(de_c / 1.0, 0, 1) ** 0.7
+
+    # feature difference on luminance: edges (1st deriv) & points (2nd deriv)
+    def grad_mag(y, sigma):
+        g = _blur(y, sigma)
+        gx = np.gradient(g, axis=1)
+        gy = np.gradient(g, axis=0)
+        return np.sqrt(gx**2 + gy**2)
+
+    def lap_mag(y, sigma):
+        g = _blur(y, sigma)
+        return np.abs(
+            -4 * g + np.roll(g, 1, 0) + np.roll(g, -1, 0) + np.roll(g, 1, 1) + np.roll(g, -1, 1)
+        )
+
+    s_f = 0.5 * ppd / 67.0
+    edge = np.abs(grad_mag(ya[..., 0], s_f) - grad_mag(yb[..., 0], s_f))
+    point = np.abs(lap_mag(ya[..., 0], s_f) - lap_mag(yb[..., 0], s_f))
+    de_f = np.clip(np.maximum(edge, point) * 4.0, 0, 1) ** 0.5
+
+    return float(np.mean(de_c ** (1.0 - de_f)))
+
+
 ALL_METRICS = {
     "MSE": mse,
     "PSNR": psnr,
@@ -84,6 +160,7 @@ ALL_METRICS = {
     "MAPE": mape,
     "SMAPE": smape,
     "MRSE": relative_mse,
+    "FLIP": flip,
 }
 
 

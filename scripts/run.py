@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--near_distance", type=float, default=-1)
     p.add_argument("--eval_subsample", type=int, default=1, help="evaluate every Nth test view")
+    p.add_argument("--downscale", type=int, default=1, help="image downscale factor (train + eval)")
+    p.add_argument("--video_camera_path", default="", help="camera path json → render video frames")
+    p.add_argument("--video_n_frames", type=int, default=60)
+    p.add_argument("--video_output", default="video_frames")
+    p.add_argument("--video_spp", type=int, default=2)
     return p.parse_args()
 
 
@@ -67,7 +72,10 @@ def main():
     if args.load_snapshot:
         tb.load_snapshot(args.load_snapshot)
     if args.scene:
-        tb.load_training_data(args.scene)
+        if mode == "nerf":
+            tb.load_training_data(args.scene, downscale=args.downscale)
+        else:
+            tb.load_training_data(args.scene)
     if args.near_distance >= 0:
         tb.nerf.training.near_distance = args.near_distance
 
@@ -96,7 +104,7 @@ def main():
         from nerfshop_tpu.data import nerf_loader
 
         print(f"evaluating on {args.test_transforms}")
-        ds = nerf_loader.load_nerf(args.test_transforms)
+        ds = nerf_loader.load_nerf(args.test_transforms, downscale=args.downscale)
         tb.nerf.render_min_transmittance = 1e-4  # eval protocol (run.py:235)
         tb.background_color = np.array([0, 0, 0, 1], np.float32)
         psnrs, ssims = [], []
@@ -141,6 +149,25 @@ def main():
         else:
             tb.screenshot(str(out / "screenshot.png"), args.width, args.height, args.screenshot_spp)
             print(f"  wrote {out / 'screenshot.png'}")
+
+    if args.video_camera_path:
+        # camera-path video rendering (V8; reference: CameraPath + the
+        # run.py video options)
+        from nerfshop_tpu.render import camera_path as cp
+        from nerfshop_tpu.data import image_io
+
+        path = cp.CameraPath.load(args.video_camera_path)
+        out = Path(args.video_output)
+        out.mkdir(parents=True, exist_ok=True)
+        for i in range(args.video_n_frames):
+            t = i / max(args.video_n_frames - 1, 1)
+            kf = path.eval(t)
+            tb.fov_deg = float(kf.fov_deg)
+            img = tb.render(args.width, args.height, spp=args.video_spp,
+                            camera_matrix=np.asarray(kf.camera_matrix(), np.float32))
+            image_io.write_image(out / f"frame_{i:04d}.png", img, linear_input=False)
+            print(f"  video frame {i+1}/{args.video_n_frames}", flush=True)
+        print(f"wrote {args.video_n_frames} frames to {out}")
 
     if mode == "image" and tb._image_target is not None:
         m = tb.compute_image_mse()

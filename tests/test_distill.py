@@ -22,13 +22,11 @@ def test_distill_matches_edited_render(trained):
     gs, op = _build_cage_op(trained, translate=shift)
     operators = (op,)
 
-    # edited occupancy: refresh the grid through the operator stack
-    gu = nerf_train.make_grid_update(model, cfg, n_samples_per_cascade=32768, operators=operators)
-    grid_edit = grid
-    rng = jax.random.PRNGKey(5)
-    for _ in range(4):
-        rng, k = jax.random.split(rng)
-        grid_edit = gu(grid_edit, state.params, k, full_refresh=False)
+    # edited occupancy: full refresh through the operator stack (copy first —
+    # the update donates its grid argument and the fixture grid is shared)
+    gu = nerf_train.make_grid_update(model, cfg, operators=operators)
+    grid_copy = jax.tree.map(lambda a: a.copy(), grid)
+    grid_edit = gu(grid_copy, state.params, jax.random.PRNGKey(5), full_refresh=True)
 
     data, _, _ = make_dataset()
     dcfg = distill_lib.DistillConfig(

@@ -46,3 +46,34 @@ def test_volume_testbed_facade():
     tb._volume.set_volume(vol_lib.synthetic_smoke(res=32))
     loss = tb.train(n_steps=3, batch_size=4096)
     assert np.isfinite(loss)
+
+
+def test_volume_ingest_npy(tmp_path):
+    """S6: .npy volumes load through Testbed.load_training_data."""
+    import numpy as np
+
+    from nerfshop_tpu import Testbed, TestbedMode
+
+    g = (np.arange(32) + 0.5) / 32
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    vol = np.exp(-50 * ((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2)).astype(np.float32)
+    np.save(tmp_path / "smoke.npy", vol)
+
+    tb = Testbed(TestbedMode.Volume)
+    tb.load_training_data(str(tmp_path / "smoke.npy"))
+    loss = tb.train(30, 4096)
+    assert np.isfinite(loss)
+    img = tb.render(24, 24, spp=1)
+    assert img.shape == (24, 24, 4)
+
+
+def test_volume_ingest_nvdb_hint(tmp_path):
+    import numpy as np
+    import pytest
+
+    from nerfshop_tpu.data import volume_io
+
+    p = tmp_path / "x.nvdb"
+    p.write_bytes(volume_io.NANOVDB_MAGIC.to_bytes(8, "little") + b"\0" * 64)
+    with pytest.raises(NotImplementedError, match="NanoVDB"):
+        volume_io.load_volume(p)
