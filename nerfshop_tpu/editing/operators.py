@@ -71,12 +71,21 @@ class CageDeformationOp(NamedTuple):
         )
 
 
-def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray, eps: float = -1e-5):
+def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray, eps: float = -1e-5, near_miss: float = 0.08):
     """p [N,3] → (found [N], tet [N], bary [N,4]) for the given tet set.
     The analog of interpolate_tet's per-cell candidate loop, batched.
+
     ``eps``: barycentric containment margin — negative is inclusive (warp
     lookups), positive is strict (used for the emptying test so a thin
-    numerical shell at the cage surface can't be falsely flagged vacated)."""
+    numerical shell at the cage surface can't be falsely flagged vacated).
+
+    ``near_miss``: points in no tet but within this barycentric distance of
+    one still resolve to their best candidate (barycentric EXTRApolation) —
+    the Delaunay tetrahedralization is conforming only to within a fraction
+    of the ideal edge at concave creases (TetGen in the reference is exactly
+    conforming), and hairline coverage gaps would otherwise leave unwarped
+    seams. Extrapolated barycentrics are continuous and exact for affine
+    cage motions. Strict lookups (eps > 0) disable the fallback."""
     res = lut.res
     cell = jnp.floor((p - lut.bbox_lo) * lut.inv_cell).astype(jnp.int32)
     inb = jnp.all((cell >= 0) & (cell < res), axis=-1)
@@ -90,12 +99,16 @@ def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray,
     # inv_e is the inverse of the column-edge matrix, so bary(1:) = inv_e @ d
     b = jnp.einsum("nmij,nmj->nmi", inv_e[cand_c], d)
     b0 = 1.0 - jnp.sum(b, axis=-1)
-    inside = valid & inb[:, None] & (b >= eps).all(-1) & (b0 >= eps)
-    found = inside.any(-1)
-    first = jnp.argmax(inside, axis=-1)
+    # per-candidate containment score: most-negative barycentric component
+    score = jnp.minimum(jnp.min(b, axis=-1), b0)  # [N, MT]
+    score = jnp.where(valid & inb[:, None], score, -jnp.inf)
+    best = jnp.argmax(score, axis=-1)
     rows = jnp.arange(p.shape[0])
-    tet = cand_c[rows, first]
-    bary = jnp.concatenate([b0[rows, first][:, None], b[rows, first]], axis=-1)  # [N,4]
+    best_score = score[rows, best]
+    threshold = eps if eps > 0 else -near_miss
+    found = best_score >= threshold
+    tet = cand_c[rows, best]
+    bary = jnp.concatenate([b0[rows, best][:, None], b[rows, best]], axis=-1)  # [N,4]
     return found, tet, bary
 
 

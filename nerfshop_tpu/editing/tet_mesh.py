@@ -214,8 +214,9 @@ class TetMesh:
             return lo.astype(np.float32), inv_cell.astype(np.float32), cells, max_seen
 
         cell_lists: list = [[] for _ in range(res**3)]
-        t_lo = np.clip(((tv.min(1) - lo) * inv_cell).astype(int), 0, res - 1)
-        t_hi = np.clip(((tv.max(1) - lo) * inv_cell).astype(int), 0, res - 1)
+        # 1-cell padding so neighbors keep the tet as a near-miss candidate
+        t_lo = np.clip(((tv.min(1) - lo) * inv_cell).astype(int) - 1, 0, res - 1)
+        t_hi = np.clip(((tv.max(1) - lo) * inv_cell).astype(int) + 1, 0, res - 1)
         for ti in range(len(self.tets)):
             x0, y0, z0 = t_lo[ti]
             x1, y1, z1 = t_hi[ti]

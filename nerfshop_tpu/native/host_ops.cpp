@@ -52,9 +52,12 @@ int voxelize_tets(
                 }
             }
             int c0[3], c1[3];
+            // pad by one cell: neighboring cells keep the tet as a warp
+            // candidate so hairline non-conformity at concave cage creases
+            // can resolve via near-miss barycentric fallback
             for (int a = 0; a < 3; ++a) {
-                c0[a] = std::clamp((int)((lo[a] - bbox_lo[a]) * inv_cell[a]), 0, res - 1);
-                c1[a] = std::clamp((int)((hi[a] - bbox_lo[a]) * inv_cell[a]), 0, res - 1);
+                c0[a] = std::clamp((int)((lo[a] - bbox_lo[a]) * inv_cell[a]) - 1, 0, res - 1);
+                c1[a] = std::clamp((int)((hi[a] - bbox_lo[a]) * inv_cell[a]) + 1, 0, res - 1);
             }
             for (int x = c0[0]; x <= c1[0]; ++x)
                 for (int y = c0[1]; y <= c1[1]; ++y)

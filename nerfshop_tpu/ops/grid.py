@@ -64,10 +64,12 @@ def cell_world_positions(cell_idx: jnp.ndarray, mip: jnp.ndarray, jitter: jnp.nd
 
 
 def ema_update(density: jnp.ndarray, fresh: jnp.ndarray, sampled: jnp.ndarray, decay: float = DENSITY_GRID_DECAY) -> jnp.ndarray:
-    """EMA with max-splat semantics: cells that received a fresh sample take
-    max(old*decay, new); untouched cells keep their value until resampled
-    (reference: ema_grid_samples_nerf, testbed_nerf.cu:483)."""
-    return jnp.where(sampled, jnp.maximum(density * decay, fresh), density)
+    """EMA with max-splat semantics: EVERY cell decays each update and
+    sampled cells additionally take max with their fresh density
+    (reference: ema_grid_samples_nerf runs over the whole grid,
+    testbed_nerf.cu:483 — the universal decay is what eventually clears
+    stale occupancy; decaying only sampled cells deadlocks a dense grid)."""
+    return jnp.maximum(density * decay, jnp.where(sampled, fresh, 0.0))
 
 
 def _slab_positions(n_cascades_active: int, z_lo: jnp.ndarray, z_size: int, rng: jax.Array) -> jnp.ndarray:
@@ -137,7 +139,12 @@ def update_density_grid(
         (n_cascades_active, R, R, z_size),
     )
     new_slab = jnp.maximum(old_slab * DENSITY_GRID_DECAY, fresh)
-    new_density = jax.lax.dynamic_update_slice(grid.density, new_slab, (0, 0, 0, z_lo))
+    # EVERY cell decays each update (ema_grid_samples_nerf runs over the
+    # whole grid, testbed_nerf.cu:483) — this is what eventually clears
+    # stale occupancy; the refreshed slab additionally takes its fresh max
+    new_density = jax.lax.dynamic_update_slice(
+        grid.density * DENSITY_GRID_DECAY, new_slab, (0, 0, 0, z_lo)
+    )
     return grid._replace(density=new_density)
 
 

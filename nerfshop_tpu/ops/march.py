@@ -182,6 +182,7 @@ def march_rays(
     grid_stop_tau: float = 8.0,
     selection: str = "first",  # "first" (render) | "spread" (training)
     spread_rng: Optional[jnp.ndarray] = None,  # [R, K] u(0,1) stratum jitter
+    spread_stride_cap: float = 4.0,
     with_aux: bool = False,
 ):
     R = origins.shape[0]
@@ -224,8 +225,17 @@ def march_rays(
 
     if selection == "spread":
         # stratified rank targets over all occupied candidates; stride-scaled
-        # dt keeps the optical-depth integral calibrated when subsampling
-        stride = jnp.maximum(nocc.astype(jnp.float32) / K, 1.0)[:, None]  # [R,1]
+        # dt keeps the optical-depth integral calibrated when subsampling.
+        # The stride is CAPPED: unboundedly coarse dt (dense warm-up grids)
+        # lets training settle into a fog equilibrium — a uniform
+        # semi-transparent field fits photos under coarse quadrature, the
+        # occupancy grid then never clears, and renders saturate into fog.
+        # Capped at ~8× the base step the quadrature stays sharp (the
+        # reference trains at 1-8× base dt) while still covering 8× more
+        # ray than a first-K budget.
+        stride = jnp.clip(
+            nocc.astype(jnp.float32) / K, 1.0, spread_stride_cap
+        )[:, None]  # [R,1]
         ks = jnp.arange(K, dtype=jnp.float32)[None, :]
         u = spread_rng if spread_rng is not None else jnp.full((R, K), 0.5)
         targets_f = (ks + u) * stride  # in [0, nocc)

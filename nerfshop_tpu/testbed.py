@@ -273,11 +273,15 @@ class Testbed:
 
             assert self._dataset is not None, "load_training_data first"
             if self._step_fn is None:
-                # rays per step so that rays·K ≈ batch_size; adaptive
-                # doubling below re-selects a bucket when rays under-fill
-                self._rays_base = max(256, batch_size // self._train_cfg.k_samples)
-                self._rays_bucket = 0
-                self._build_step_fn(self._rays_base)
+                # adaptive rays/batch (reference: rays scaled so samples/ray
+                # fit the batch, Counters::update_after_training,
+                # testbed_nerf.cu:3668). Static shapes → power-of-two
+                # (n_rays, K) buckets with n_rays·K = batch: a dense warm-up
+                # grid wants few rays × many samples (full-path coverage at
+                # fine dt), a converged sparse grid many rays × few samples.
+                self._batch_slots = max(1 << 13, batch_size)
+                self._k_bucket = self._train_cfg.k_samples
+                self._build_step_fn(self._batch_slots // self._k_bucket, self._k_bucket)
                 if self._train_cfg.use_error_map:
                     self._error_map = nerf_train.create_error_map(
                         self._dataset.n_images, self._train_cfg.error_map_resolution
@@ -303,22 +307,19 @@ class Testbed:
                 self.stats.step += 1
             loss = float(aux["loss"])
             self.stats.loss = loss
+            self.loss_history.append((self.stats.step, loss))
+            del self.loss_history[:-512]
             self.stats.measured_batch_size = int(aux["measured_samples"])
-            # adaptive rays/batch (reference: Counters::update_after_training,
-            # testbed_nerf.cu:3668 — rays scaled so measured samples ≈ the
-            # target batch). Static shapes → pick among power-of-two buckets;
-            # each bucket's compiled step is cached by jit.
-            if self.stats.step >= 256:
-                n_rays = self._train_cfg.n_rays_per_batch
-                util = self.stats.measured_batch_size / max(
-                    n_rays * self._train_cfg.k_samples, 1
-                )
-                if util < 0.45 and self._rays_bucket < 2:
-                    self._rays_bucket += 1
-                    self._build_step_fn(self._rays_base << self._rays_bucket)
-                elif util > 0.95 and self._rays_bucket > 0:
-                    self._rays_bucket -= 1
-                    self._build_step_fn(self._rays_base << self._rays_bucket)
+            # bucket adjustment: if most rays fill their K budget the march
+            # is truncating (dense grid) → fewer rays × more samples; if
+            # almost none do, shift back toward many short rays.
+            overflow = float(aux.get("sample_overflow_frac", 0.0))
+            if overflow > 0.6 and self._k_bucket < 1024:
+                self._k_bucket *= 2
+                self._build_step_fn(max(64, self._batch_slots // self._k_bucket), self._k_bucket)
+            elif overflow < 0.08 and self._k_bucket > 32:
+                self._k_bucket //= 2
+                self._build_step_fn(max(64, self._batch_slots // self._k_bucket), self._k_bucket)
         elif self.mode == TestbedMode.Image:
             from nerfshop_tpu.train import image as image_mod
             from nerfshop_tpu.train import losses
@@ -353,8 +354,60 @@ class Testbed:
         self.stats.training_ms = (time.perf_counter() - t_start) * 1e3
         return loss
 
-    def _build_step_fn(self, n_rays: int) -> None:
-        """(Re)compile the train step for a ray-count bucket."""
+    # -------------------------------------------------------- observability
+
+    def start_profiler(self, logdir: str = "/tmp/nerfshop_trace") -> None:
+        """jax.profiler trace (the §5 upgrade over the reference's chrono
+        counters); view with TensorBoard or xprof."""
+        import jax
+
+        jax.profiler.start_trace(logdir)
+        self._profiler_dir = logdir
+
+    def stop_profiler(self) -> str:
+        import jax
+
+        jax.profiler.stop_trace()
+        return getattr(self, "_profiler_dir", "")
+
+    @property
+    def loss_history(self):
+        """Per-train()-call loss ring buffer (reference: GUI loss graph,
+        update_loss_graph testbed.cu:2113)."""
+        if not hasattr(self, "_loss_history"):
+            self._loss_history = []
+        return self._loss_history
+
+    def level_stats(self):
+        """Per-hash-level table magnitudes (reference: LevelStats /
+        gather_histograms, testbed.h:261, testbed.cu:2895)."""
+        import numpy as np
+
+        enc = self._model.pos_encoding
+        table = np.asarray(self._state.params["pos_encoding"]["table"])
+        out = []
+        for l in range(enc.n_levels):
+            seg = table[enc.level_offsets[l] : enc.level_offsets[l + 1]]
+            out.append(
+                {
+                    "level": l,
+                    "resolution": enc.level_res[l],
+                    "size": enc.level_sizes[l],
+                    "hashed": not enc.level_dense[l],
+                    "mean_abs": float(np.abs(seg).mean()),
+                    "max_abs": float(np.abs(seg).max()),
+                    "frac_nonzero": float((np.abs(seg) > 1e-6).mean()),
+                }
+            )
+        return out
+
+    def n_params(self) -> int:
+        import jax
+
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self._state.params))
+
+    def _build_step_fn(self, n_rays: int, k_samples: int = None) -> None:
+        """(Re)compile the train step for a (rays, K) bucket."""
         import jax
 
         from nerfshop_tpu.train import nerf as nerf_train
@@ -363,6 +416,7 @@ class Testbed:
             **{
                 **self._train_cfg.__dict__,
                 "n_rays_per_batch": n_rays,
+                "k_samples": k_samples or self._train_cfg.k_samples,
                 "use_error_map": bool(self.nerf.training.use_error_map),
             }
         )

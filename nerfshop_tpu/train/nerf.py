@@ -247,6 +247,10 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
         (_, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
         aux["img_idx"] = img_idx
         aux["pix"] = pix
+        # fraction of rays that filled their K budget — drives the adaptive
+        # rays/batch bucket (reference: Counters::update_after_training,
+        # testbed_nerf.cu:3668: rays scaled until samples/ray fit)
+        aux["sample_overflow_frac"] = jnp.mean((samples.n >= cfg.k_samples).astype(jnp.float32))
         return grads, aux
 
     return grads_of
