@@ -170,11 +170,40 @@ def rays_from_pixels(
 ) -> RayBundle:
     """Differentiable ray construction, optionally through learnable pose
     deltas {'rot':[N,3],'trans':[N,3]} — gradients flow from sample
-    positions back to the per-image camera parameters."""
+    positions back to the per-image camera parameters.
+
+    With camera_params['distortion_map'] ([Hd, Wd, 2]), a learnable
+    screen-space direction offset is bilinearly sampled at the pixel UV —
+    the TPU analog of the reference's TrainableBuffer<2,2> distortion grid
+    (src/testbed.cu:2407-2425, applied in pixel_to_ray)."""
     xf = xforms[img_idx]
     if camera_params is not None:
         xf = apply_pose_delta(xf, camera_params["rot"][img_idx], camera_params["trans"][img_idx])
     dist = distortions[img_idx] if distortions is not None else None
+
+    dmap_offset = None
+    if camera_params is not None and "distortion_map" in camera_params:
+        dm = camera_params["distortion_map"]  # [Hd, Wd, 2]
+        Hd, Wd = dm.shape[:2]
+        uv = pix / resolution  # [N, 2] in [0,1]
+        fu = uv[:, 0] * Wd - 0.5
+        fv = uv[:, 1] * Hd - 0.5
+        u0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, Wd - 1)
+        v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, Hd - 1)
+        u1 = jnp.clip(u0 + 1, 0, Wd - 1)
+        v1 = jnp.clip(v0 + 1, 0, Hd - 1)
+        du = jnp.clip(fu - u0, 0, 1)[:, None]
+        dv = jnp.clip(fv - v0, 0, 1)[:, None]
+        dmap_offset = (
+            dm[v0, u0] * (1 - du) * (1 - dv)
+            + dm[v0, u1] * du * (1 - dv)
+            + dm[v1, u0] * (1 - du) * dv
+            + dm[v1, u1] * du * dv
+        )  # [N, 2]
+
+    if dmap_offset is not None:
+        # offset the normalized image-plane coordinate before ray generation
+        pix = pix + dmap_offset * resolution
 
     if dist is not None:
         o, d = jax.vmap(

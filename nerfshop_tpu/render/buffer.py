@@ -67,3 +67,38 @@ class RenderBuffer:
                 rgb = tm.linear_to_srgb(rgb)
         rgb = jnp.clip(rgb, 0.0, 1.0)
         return jnp.concatenate([rgb, jnp.clip(img[..., 3:], 0.0, 1.0)], -1)
+
+
+def overlay_ground_truth(pred: "jnp.ndarray", gt: "jnp.ndarray", mode: str = "split") -> "jnp.ndarray":
+    """GT comparison overlays (reference: render_frame tail — GT half-screen
+    overlay and false-color error map, src/testbed.cu:2761+).
+
+    pred/gt: [H, W, 3or4] in display space. ``mode``:
+      * "split": left half GT, right half prediction;
+      * "error": false-color |pred − gt| (blue → red);
+      * "blend": 50/50 blend.
+    """
+    import jax.numpy as jnp
+
+    p = pred[..., :3]
+    g = gt[..., :3]
+    if g.shape[:2] != p.shape[:2]:
+        import jax
+
+        g = jax.image.resize(g, (*p.shape[:2], 3), "linear")
+    if mode == "split":
+        W = p.shape[1]
+        mask = (jnp.arange(W) < W // 2)[None, :, None]
+        out = jnp.where(mask, g, p)
+    elif mode == "error":
+        err = jnp.clip(jnp.abs(p - g).mean(-1, keepdims=True) * 4.0, 0.0, 1.0)
+        # blue (low) → green → red (high)
+        out = jnp.concatenate(
+            [err, 1.0 - jnp.abs(2 * err - 1.0), 1.0 - err], axis=-1
+        ) * jnp.ones_like(p)
+    elif mode == "blend":
+        out = 0.5 * p + 0.5 * g
+    else:
+        raise ValueError(mode)
+    alpha = pred[..., 3:4] if pred.shape[-1] == 4 else jnp.ones_like(out[..., :1])
+    return jnp.concatenate([out, jnp.ones_like(alpha)], -1)

@@ -59,6 +59,8 @@ class RenderOptions:
     mode: RenderMode = RenderMode.Shade
     use_grid_early_stop: bool = True
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    #: view-aligned slice distance for RenderMode.Slice (m_slice_plane_z)
+    slice_z: float = 0.5
     #: number of edit operators baked into the compiled chunk fn (operators
     #: themselves are traced arguments; only the count/type is static)
     n_edit_operators: int = 0
@@ -188,9 +190,27 @@ def _render_chunk(
         t_start = aux.t_last
         aux_prev = aux
 
-    if opts.mode == RenderMode.Depth:
+    if opts.mode == RenderMode.Slice:
+        # density slice on the view-aligned plane at t = slice_z (reference:
+        # ERenderMode::Slice + m_slice_plane_z): one field sample per pixel
+        t_s = jnp.full((R,), opts.slice_z)
+        p = origins + t_s[:, None] * directions
+        pw = jnp.clip(coords.warp_position(p, aabb), 0.0, 1.0)
+        rgb_sl, sig_sl = model(params, pw, coords.warp_direction(directions))
+        a = 1.0 - jnp.exp(-sig_sl * 0.01)
+        return jnp.concatenate([rgb_sl * a[:, None], a[:, None]], -1), t_s
+
+    if opts.mode in (RenderMode.Depth, RenderMode.Distance):
+        # t is already euclidean distance along the unit-norm ray
         v = depth[:, None] * jnp.ones((1, 3))
         rgba = jnp.concatenate([v, acc_opacity[:, None]], -1)
+    elif opts.mode == RenderMode.Stepsize:
+        # first valid sample's dt relative to the base step
+        from nerfshop_tpu.common import MIN_CONE_STEPSIZE
+
+        dt0 = jnp.where(samples.valid[:, 0], samples.dt[:, 0], 0.0) / MIN_CONE_STEPSIZE
+        v = dt0[:, None] * jnp.ones((1, 3))
+        rgba = jnp.concatenate([v, jnp.ones_like(v[:, :1])], -1)
     elif opts.mode == RenderMode.Cost:
         v = (n_used.astype(jnp.float32) / K)[:, None] * jnp.ones((1, 3))
         rgba = jnp.concatenate([v, jnp.ones_like(v[:, :1])], -1)

@@ -223,13 +223,23 @@ class Testbed:
                 loss_type=cfg.get("loss", {}).get("otype", "Huber"),
                 near_distance=self.nerf.training.near_distance,
                 train_envmap=train_envmap,
-                optimize_extrinsics=bool(self.nerf.training.optimize_extrinsics),
+                # the distortion map rides the differentiable-ray path, so it
+                # activates the camera-params branch too
+                optimize_extrinsics=bool(
+                    self.nerf.training.optimize_extrinsics
+                    or self.nerf.training.optimize_distortion
+                ),
                 optimize_exposure=bool(self.nerf.training.optimize_exposure),
             )
             if (
-                self._train_cfg.optimize_extrinsics or self._train_cfg.optimize_exposure
+                self._train_cfg.optimize_extrinsics
+                or self._train_cfg.optimize_exposure
+                or self.nerf.training.optimize_distortion
             ) and self._dataset is not None:
-                params["camera"] = nerf_train.create_camera_params(self._dataset.n_images)
+                params["camera"] = nerf_train.create_camera_params(
+                    self._dataset.n_images,
+                    distortion_map=bool(self.nerf.training.optimize_distortion),
+                )
                 self._state = optim.create_train_state(params, self._spec)
             self.nerf.cone_angle_constant = self._train_cfg.cone_angle
             self._grid = grid_lib.OccupancyGrid.create(self._train_cfg.n_cascades)

@@ -48,12 +48,19 @@ class DistillConfig:
     near_distance: float = 0.05
     field_loss_weight: float = 1.0
     pixel_loss_weight: float = 1.0
+    #: weight of the GT-photo loss on rays that don't cross any edit region
+    #: (the reference distills against GT images, testbed_nerf.cu:3918 —
+    #: rays through unedited space are still photo-supervised here, keeping
+    #: the student from compounding teacher error)
+    gt_loss_weight: float = 1.0
     min_transmittance: float = 1e-4
 
 
 def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.ndarray, dir_world: jnp.ndarray, aabb):
     """The edited scene's field at deformed-space points: warp through the
-    stack, query the old network, apply empty-mask and membrane residuals."""
+    stack, query the old network, apply empty-mask and membrane residuals.
+    → (rgb, sigma, touched) — ``touched`` marks samples whose value the edit
+    stack changed (warped, emptied, or membrane-corrected)."""
     from nerfshop_tpu.editing import operators as op_lib
 
     p, dvec, empty, rs, rc = op_lib.map_samples_through_stack_full(list(operators), pos_world, dir_world)
@@ -62,7 +69,8 @@ def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.n
     rgb, sigma = model(params, pos_w, dir_w)
     sigma = jnp.where(empty, 0.0, sigma) + rs
     rgb = jnp.clip(rgb + rc, 0.0, None)
-    return rgb, sigma
+    touched = empty | (jnp.linalg.norm(p - pos_world, axis=-1) > 1e-6) | (rs != 0.0)
+    return rgb, sigma, touched
 
 
 def make_distill_step(
@@ -80,7 +88,7 @@ def make_distill_step(
 
     def step(state: optim.TrainState, grid, data: nerf_train.DeviceDataset, rng: jax.Array):
         k_rays, k_march = jax.random.split(rng)
-        bundle, _, _ = rays_lib.sample_training_rays(
+        bundle, _, targets = rays_lib.sample_training_rays(
             k_rays, cfg.n_rays_per_batch, data.images, data.xforms,
             data.focals, data.principals, data.distortions,
         )
@@ -94,9 +102,13 @@ def make_distill_step(
         pos_world = (bundle.origins[:, None, :] + samples.t[..., None] * bundle.directions[:, None, :]).reshape(-1, 3)
         dir_world = jnp.broadcast_to(bundle.directions[:, None, :], (R, K, 3)).reshape(-1, 3)
 
-        t_rgb, t_sigma = teacher_field(model, teacher_params, operators, pos_world, dir_world, aabb)
+        t_rgb, t_sigma, touched = teacher_field(model, teacher_params, operators, pos_world, dir_world, aabb)
         t_rgb = jax.lax.stop_gradient(t_rgb)
         t_sigma = jax.lax.stop_gradient(t_sigma)
+        # rays whose samples are all untouched by the edit stack still match
+        # the original photos — supervise them on GT (the reference's
+        # distillation is GT-photo-based end to end)
+        ray_clean = ~jnp.any(touched.reshape(R, K) & samples.valid, axis=1)
 
         pos_w = jnp.clip(coords.warp_position(pos_world, aabb), 0.0, 1.0)
         dir_w = coords.warp_direction(dir_world)
@@ -120,8 +132,19 @@ def make_distill_step(
                 samples.dt, samples.t, samples.valid, cfg.min_transmittance,
             )
             pix = jnp.mean(jnp.square(s_res.rgb - jax.lax.stop_gradient(t_res.rgb)))
-            loss = cfg.field_loss_weight * field + cfg.pixel_loss_weight * pix
-            return loss, {"loss": loss, "field_loss": field, "pixel_loss": pix}
+            # GT-photo loss on edit-free rays (composite over the GT's own
+            # background using its alpha)
+            gt_rgb = targets[:, :3] * targets[:, 3:4]
+            gt_err = jnp.mean(jnp.square(s_res.rgb - gt_rgb), axis=-1)
+            gt = jnp.sum(jnp.where(ray_clean, gt_err, 0.0)) / jnp.maximum(
+                jnp.sum(ray_clean.astype(jnp.float32)), 1.0
+            )
+            loss = (
+                cfg.field_loss_weight * field
+                + cfg.pixel_loss_weight * pix
+                + cfg.gt_loss_weight * gt
+            )
+            return loss, {"loss": loss, "field_loss": field, "pixel_loss": pix, "gt_loss": gt}
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         return optim.apply_gradients(state, grads, spec), aux

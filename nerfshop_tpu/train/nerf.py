@@ -160,13 +160,18 @@ def nerf_loss_fn(
     return loss, aux
 
 
-def create_camera_params(n_images: int) -> dict:
-    """Learnable per-image pose/exposure refinements (reference T6)."""
-    return {
+def create_camera_params(n_images: int, distortion_map: bool = False, dmap_resolution: int = 32) -> dict:
+    """Learnable per-image pose/exposure refinements (reference T6), plus an
+    optional shared screen-space distortion grid (TrainableBuffer<2,2>,
+    src/testbed.cu:2407-2425)."""
+    p = {
         "rot": jnp.zeros((n_images, 3), jnp.float32),
         "trans": jnp.zeros((n_images, 3), jnp.float32),
         "log_exposure": jnp.zeros((n_images,), jnp.float32),
     }
+    if distortion_map:
+        p["distortion_map"] = jnp.zeros((dmap_resolution, dmap_resolution, 2), jnp.float32)
+    return p
 
 
 def create_error_map(n_images: int, resolution: int = 32) -> jnp.ndarray:

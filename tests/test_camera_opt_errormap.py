@@ -80,3 +80,33 @@ def test_train_step_with_error_map_runs():
     assert np.isfinite(float(aux["loss"]))
     assert em.shape == (3, 32, 32)
     assert float(em.max()) > float(em.min())
+
+
+def test_distortion_map_receives_gradients():
+    """optimize_distortion (reference: TrainableBuffer<2,2> distortion grid)
+    — the shared screen-space offset map gets nonzero gradients through the
+    differentiable ray path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfshop_tpu.ops import grid as grid_lib
+    from nerfshop_tpu.train import nerf as nerf_train
+    from test_nerf_train_e2e import make_dataset, small_model
+
+    data, _, _ = make_dataset()
+    model = small_model()
+    cfg = nerf_train.NerfTrainConfig(
+        n_rays_per_batch=512, k_samples=16, aabb_scale=1, n_cascades=1,
+        near_distance=0.05, optimize_extrinsics=True,
+    )
+    grads_of = nerf_train.make_grad_fn(model, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params["camera"] = nerf_train.create_camera_params(
+        data.images.shape[0], distortion_map=True, dmap_resolution=8
+    )
+    grid = grid_lib.OccupancyGrid.create(1)
+    grads, aux = jax.jit(grads_of)(params, grid, data, jax.random.PRNGKey(1))
+    g = np.asarray(grads["camera"]["distortion_map"])
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0

@@ -44,3 +44,50 @@ def test_path_save_load(tmp_path):
     assert len(back.keyframes) == 1
     np.testing.assert_allclose(back.keyframes[0].position, [0.1, 0.2, 0.3])
     assert back.keyframes[0].fov_deg == 45
+
+
+def test_render_modes_slice_distance_stepsize():
+    """V4 parity: Slice/Distance/Stepsize render modes produce sane output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfshop_tpu.common import RenderMode
+    from nerfshop_tpu.models import encodings as enc
+    from nerfshop_tpu.models import mlp as mlp_lib
+    from nerfshop_tpu.models import nerf_network as nn
+    from nerfshop_tpu.ops import grid as grid_lib
+    from nerfshop_tpu.render import renderer
+
+    model = nn.NerfNetwork(
+        pos_encoding=enc.GridEncoding(n_levels=2, n_features_per_level=2,
+                                      log2_hashmap_size=10, base_resolution=8),
+        dir_encoding=enc.SphericalHarmonicsEncoding(degree=2),
+        density_mlp=mlp_lib.MLP(n_input_dims=4, n_output_dims=16, n_neurons=16, n_hidden_layers=1),
+        rgb_mlp=mlp_lib.MLP(n_input_dims=20, n_output_dims=3, n_neurons=16, n_hidden_layers=1),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    grid = grid_lib.OccupancyGrid.create(1)
+    xf = jnp.asarray([[1.0, 0, 0, 0.5], [0, 1.0, 0, 0.5], [0, 0, 1.0, -0.6]], jnp.float32)
+    for mode in (RenderMode.Slice, RenderMode.Distance, RenderMode.Stepsize):
+        opts = renderer.RenderOptions(k_samples=8, n_candidates=64, n_windows=1,
+                                      chunk=64, mode=mode, slice_z=0.9)
+        out = renderer.render_frame(model, params, grid, (8, 8), xf,
+                                    jnp.asarray([8.0, 8.0]), opts=opts)
+        assert np.isfinite(np.asarray(out.rgba)).all(), mode
+
+
+def test_gt_overlay_modes():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfshop_tpu.render.buffer import overlay_ground_truth
+
+    pred = jnp.ones((8, 8, 4)) * 0.8
+    gt = jnp.zeros((8, 8, 3))
+    split = np.asarray(overlay_ground_truth(pred, gt, "split"))
+    assert split[:, :4, 0].max() == 0.0 and split[:, 4:, 0].min() > 0.7
+    err = np.asarray(overlay_ground_truth(pred, gt, "error"))
+    assert err[..., 0].min() > 0.9  # large error → red channel saturated
+    blend = np.asarray(overlay_ground_truth(pred, gt, "blend"))
+    assert abs(float(blend[..., 0].mean()) - 0.4) < 1e-5

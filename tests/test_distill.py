@@ -30,7 +30,7 @@ def test_distill_matches_edited_render(trained):
 
     data, _, _ = make_dataset()
     dcfg = distill_lib.DistillConfig(
-        n_rays_per_batch=2048, k_samples=24, aabb_scale=1, near_distance=0.05,
+        n_rays_per_batch=1024, k_samples=128, aabb_scale=1, near_distance=0.05,
     )
     student = distill_lib.distill(
         model, state.inference_params, operators, data, grid_edit,

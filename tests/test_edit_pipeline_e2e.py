@@ -35,7 +35,7 @@ def trained():
     data, focal, principal = make_dataset()
     model = small_model()
     cfg = nerf_train.NerfTrainConfig(
-        n_rays_per_batch=2048, k_samples=24, aabb_scale=1, n_cascades=1,
+        n_rays_per_batch=1024, k_samples=128, aabb_scale=1, n_cascades=1,
         near_distance=0.05, loss_type="Huber",
     )
     spec = optim.build_optimizer({"otype": "Adam", "learning_rate": 1e-2, "epsilon": 1e-15})

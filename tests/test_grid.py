@@ -20,14 +20,35 @@ def test_create_and_bitfield_threshold():
     assert occ[1, 37, 42, 47]
 
 
-def test_ema_update_decays_only_sampled():
+def test_ema_update_decays_everywhere():
+    """Reference semantics (ema_grid_samples_nerf runs over the WHOLE grid):
+    every cell decays each update; sampled cells take max with fresh."""
     g = grid_lib.OccupancyGrid.create(1)
     density = g.density.at[0, 0, 0, 0].set(1.0).at[0, 1, 1, 1].set(1.0)
-    fresh = jnp.zeros_like(density)
+    fresh = jnp.zeros_like(density).at[0, 0, 0, 0].set(5.0)
     sampled = jnp.zeros_like(density, bool).at[0, 0, 0, 0].set(True)
     new = grid_lib.ema_update(density, fresh, sampled, decay=0.9)
-    assert float(new[0, 0, 0, 0]) == np.float32(0.9)  # decayed (sample was 0)
-    assert float(new[0, 1, 1, 1]) == 1.0  # untouched
+    assert float(new[0, 0, 0, 0]) == 5.0  # fresh max wins
+    assert float(new[0, 1, 1, 1]) == np.float32(0.9)  # unsampled still decays
+
+
+def test_dense_grid_clears_to_field():
+    """A fully-dense warm-up grid converges to the true field's occupancy
+    after ~90 decay updates (0.95^90 < 0.01) — the deadlock the old
+    decay-only-sampled semantics caused."""
+
+    def density_fn(pos):
+        return jnp.where(jnp.linalg.norm(pos - 0.5, axis=-1) < 0.2, 100.0, 0.0)
+
+    g = grid_lib.OccupancyGrid.create(1)
+    g = g._replace(density=jnp.full_like(g.density, 1.0))
+    rng = jax.random.PRNGKey(0)
+    for i in range(95):
+        rng, k = jax.random.split(rng)
+        g = grid_lib.update_density_grid(g, density_fn, k, 1, full_refresh=False)
+    g = grid_lib.update_bitfield(g)
+    frac = float(g.occupancy.mean())
+    assert 0.01 < frac < 0.08, frac  # ≈ ball volume, air cleared
 
 
 def test_slab_refresh_covers_all_cells_in_4_updates(rng):
@@ -39,12 +60,13 @@ def test_slab_refresh_covers_all_cells_in_4_updates(rng):
 
     g = grid_lib.OccupancyGrid.create(1)
     keys = [jax.random.PRNGKey(i) for i in range(64)]
-    seen = np.zeros(4, bool)
     for k in keys:
         g = grid_lib.update_density_grid(g, density_fn, k, 1, full_refresh=False)
-        if np.asarray(g.density == 7.0).all():
+        # every cell decays between its slab refreshes: steady state is
+        # [7·decay^k, 7] — require every slab was eventually refreshed
+        if float(jnp.min(g.density)) > 7.0 * 0.95**8:
             break
-    assert float(jnp.min(g.density)) == 7.0  # every z-slab eventually hit
+    assert float(jnp.min(g.density)) > 7.0 * 0.95**8
 
 
 def test_update_density_grid_with_synthetic_field(rng):

@@ -38,7 +38,7 @@ def test_spread_covers_full_ray_with_calibrated_dt():
     occ = jnp.ones((1, 128, 128, 128), jnp.bool_)
     o = jnp.asarray([[-0.5, 0.5, 0.5]])
     d = jnp.asarray([[1.0, 0.0, 0.0]])
-    K = 32
+    K = 256  # stride cap 4 → K must span the path: 256·4·√3/1024 ≈ 1.7
     s = march.march_rays(
         o, d, occ, jnp.zeros(3), jnp.ones(3), jnp.zeros(()),
         k_samples=K, selection="spread",

@@ -32,8 +32,9 @@ def test_voxelize_matches_numpy(lib):
 
     # numpy reference (same loop as the fallback)
     cell_lists = [[] for _ in range(res**3)]
-    t_lo = np.clip(((tv.min(1) - lo) * inv_cell).astype(int), 0, res - 1)
-    t_hi = np.clip(((tv.max(1) - lo) * inv_cell).astype(int), 0, res - 1)
+    # mirror the 1-cell padding (near-miss candidate dilation)
+    t_lo = np.clip(((tv.min(1) - lo) * inv_cell).astype(int) - 1, 0, res - 1)
+    t_hi = np.clip(((tv.max(1) - lo) * inv_cell).astype(int) + 1, 0, res - 1)
     for ti in range(len(tm.tets)):
         for x in range(t_lo[ti][0], t_hi[ti][0] + 1):
             for y in range(t_lo[ti][1], t_hi[ti][1] + 1):
