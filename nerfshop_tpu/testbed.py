@@ -316,6 +316,17 @@ class Testbed:
                     self._state, aux = self._step_fn(self._state, self._grid, self._device_data, k1)
                 self.stats.step += 1
             loss = float(aux["loss"])
+            # degenerate-training guards (reference: "generated 0 samples.
+            # Aborting training.", testbed_nerf.cu:3770; plus a NaN guard)
+            if int(aux["measured_samples"]) == 0:
+                self.shall_train = False
+                raise RuntimeError(
+                    "training generated 0 samples (empty occupancy along every "
+                    "ray) — aborting; check the scene scale/aabb_scale"
+                )
+            if not math.isfinite(loss):
+                self.shall_train = False
+                raise RuntimeError(f"non-finite training loss at step {self.stats.step}")
             self.stats.loss = loss
             self.loss_history.append((self.stats.step, loss))
             del self.loss_history[:-512]

@@ -98,9 +98,11 @@ def small_model():
 def render_view(model, params, occupancy, xf, focal, principal, cfg):
     aabb = coords.BoundingBox.from_aabb_scale(cfg.aabb_scale)
     bundle = rays_lib.rays_for_image((RES, RES), jnp.asarray(xf), jnp.asarray(focal), jnp.asarray(principal))
+    # the grid is still dense at this step count (it clears after ~90 decay
+    # updates), so give the render march a full-path sample budget
     samples = march.march_rays(
         bundle.origins, bundle.directions, occupancy, aabb.min, aabb.max,
-        jnp.asarray(cfg.cone_angle), k_samples=48, t_start_min=0.05,
+        jnp.asarray(cfg.cone_angle), k_samples=512, t_start_min=0.05,
     )
     R, K = samples.t.shape
     pos_w, dir_w = march.samples_to_network_inputs(samples, bundle.origins, bundle.directions, aabb)
