@@ -524,8 +524,17 @@ class Testbed:
         focal = focal if focal is not None else self._focal_for(width, height)
         principal = principal if principal is not None else np.array([0.5, 0.5], np.float32)
 
+        # sample budget adapts to grid density: a dense grid (warm-up, real
+        # outdoor scenes) needs a deep first-K budget to reach content, a
+        # sparse grid renders fine with a short one (verified on fox:
+        # K=32 starves to 5.6 dB, K=256 reaches 17+ dB under a ~99%-occupied
+        # grid)
+        occ_frac = float(self._grid.occupancy.mean()) if self._grid is not None else 0.0
+        k_render = 64 if occ_frac < 0.15 else 256
         opts = renderer.RenderOptions(
-            k_samples=64,
+            k_samples=k_render,
+            n_windows=2,
+            use_grid_early_stop=occ_frac < 0.15,
             cone_angle=self._train_cfg.cone_angle if self._train_cfg else 0.0,
             aabb_scale=self._train_cfg.aabb_scale if self._train_cfg else 1,
             min_transmittance=min_transmittance or self.nerf.render_min_transmittance,
