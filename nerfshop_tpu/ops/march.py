@@ -92,7 +92,8 @@ def step_ladder(t0: jnp.ndarray, m: jnp.ndarray, cone_angle) -> Tuple[jnp.ndarra
     t_a = jnp.where(cone > 0, MIN_CONE_STEPSIZE / jnp.maximum(cone, eps), jnp.inf)
     t_b = jnp.where(cone > 0, MAX_CONE_STEPSIZE / jnp.maximum(cone, eps), jnp.inf)
 
-    m = m.astype(jnp.float32)[None, :]  # [1, M]
+    m = m.astype(jnp.float32)
+    m = m[None, :] if m.ndim == 1 else m  # [1, M] or [R, M]
     t0 = t0[:, None]  # [R, 1]
 
     m1 = jnp.ceil(jnp.maximum(t_a - t0, 0.0) / MIN_CONE_STEPSIZE)  # [R,1]
@@ -114,9 +115,11 @@ def step_ladder(t0: jnp.ndarray, m: jnp.ndarray, cone_angle) -> Tuple[jnp.ndarra
     return T, dt
 
 
-def _candidate_cells(origins, directions, T, dt, n_cascades):
+def _candidate_cells(origins, directions, T, dt, n_cascades, resolution: Optional[int] = None):
     """Ladder positions → flat cascaded-grid indices [R, M] (mip_from_dt +
-    cascaded_grid_idx_at, src/common_nerf.cu)."""
+    cascaded_grid_idx_at, src/common_nerf.cu). ``resolution`` overrides the
+    grid resolution (e.g. the 16³ coarse chain) — the mip choice still uses
+    the fine-grid formula so coarse and fine stages agree on cascades."""
     Rg = GRID_RESOLUTION
     px = origins[:, 0:1] + T * directions[:, 0:1]
     py = origins[:, 1:2] + T * directions[:, 1:2]
@@ -134,31 +137,74 @@ def _candidate_cells(origins, directions, T, dt, n_cascades):
     )
 
     mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+    Ro = Rg if resolution is None else resolution
 
     def cell_of(p):
         q = (p - 0.5) * mip_scale + 0.5
-        return jnp.clip(jnp.floor(q * Rg).astype(jnp.int32), 0, Rg - 1)
+        return jnp.clip(jnp.floor(q * Ro).astype(jnp.int32), 0, Ro - 1)
 
     ix, iy, iz = cell_of(px), cell_of(py), cell_of(pz)
-    flat = ((mip * Rg + ix) * Rg + iy) * Rg + iz  # [R, M]
+    flat = ((mip * Ro + ix) * Ro + iy) * Ro + iz  # [R, M]
     return flat
 
 
-def _rank_select(ranks: jnp.ndarray, targets: jnp.ndarray, m_bits: int) -> jnp.ndarray:
-    """Vectorized per-row binary search: for each target rank r (int32,
-    ≥1), the smallest candidate index m with ranks[row, m] ≥ r.
-    ranks [R, M] is a monotone inclusive cumsum; targets [R, K]."""
-    R, M = ranks.shape
-    K = targets.shape[1]
-    lo = jnp.zeros((R, K), jnp.int32)
-    hi = jnp.full((R, K), M - 1, jnp.int32)
-    for _ in range(m_bits):
-        mid = (lo + hi) >> 1
-        v = jnp.take_along_axis(ranks, mid, axis=1)
-        go_right = v < targets
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return jnp.minimum(lo, M - 1)
+#: coarse-segment length in fine ladder steps (stage-1 stride). A segment
+#: spans ≤ Q·MAX_CONE_STEPSIZE ≈ 0.108 world units — always within ±1 coarse
+#: cell of its midpoint for the 16³-per-cascade coarse grid below, so a
+#: midpoint probe of the 3³-dilated coarse field is conservative.
+COARSE_STRIDE = 8
+#: per-cascade coarse occupancy resolution (128 / COARSE_STRIDE / 2)
+COARSE_RES = 16
+
+
+def build_coarse_occupancy(occupancy: jnp.ndarray) -> jnp.ndarray:
+    """[C,128,128,128] bool → dilated coarse mip chain [C,16,16,16] float32
+    (>0 = some fine cell occupied nearby).
+
+    Conservative closures so probing the two ENDPOINTS of each
+    ``COARSE_STRIDE``-step segment (at their own mips) is safe for every
+    sample inside the segment:
+    1. **8³ max-pool** per cascade to the coarse resolution;
+    2. **downward closure**: pooled finer-cascade content is OR'd into the
+       next coarser cascade's center octant (the bitfield invariant,
+       update_bitfield) — interior samples whose mip dips below the
+       endpoints' mips (closest-approach V of mip_from_pos) stay covered;
+    3. **3³ dilation**: a segment spans at most one coarse cell of any mip
+       its samples can select, so ±1 around an endpoint's cell covers the
+       segment interior.
+    """
+    C = occupancy.shape[0]
+    Rg = occupancy.shape[1]
+    s = Rg // COARSE_RES
+    d = occupancy.reshape(C, COARSE_RES, s, COARSE_RES, s, COARSE_RES, s).any(axis=(2, 4, 6))
+    if C > 1:
+        g = COARSE_RES
+        lo, hi = g // 4, g // 4 + g // 2
+        levels = [d[0]]
+        for k in range(1, C):
+            pooled = levels[k - 1].reshape(g // 2, 2, g // 2, 2, g // 2, 2).any(axis=(1, 3, 5))
+            levels.append(d[k].at[lo:hi, lo:hi, lo:hi].max(pooled))
+        d = jnp.stack(levels)
+    for axis in (1, 2, 3):
+        d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
+    return d.astype(jnp.float32)
+
+
+def masked_density_field(occupancy: jnp.ndarray, density: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Fuse occupancy + density into ONE gatherable field: value > 0 iff the
+    cell is occupied; the value is the (EMA) density for transmittance
+    proxies. Halves the march's random-gather count."""
+    if density is None:
+        return occupancy.astype(jnp.float32)
+    return jnp.where(occupancy, jnp.maximum(density, 1e-30), 0.0)
+
+
+def _sorted_first(keys: jnp.ndarray, payloads: Tuple[jnp.ndarray, ...], take: int):
+    """Sort rows of ``keys`` ascending carrying ``payloads`` (lax.sort —
+    bitonic VPU network, zero gathers) and keep the first ``take`` columns."""
+    ops = (keys,) + tuple(payloads)
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+    return tuple(o[:, :take] for o in sorted_ops)
 
 
 @partial(
@@ -184,13 +230,36 @@ def march_rays(
     spread_rng: Optional[jnp.ndarray] = None,  # [R, K] u(0,1) stratum jitter
     spread_stride_cap: float = 4.0,
     with_aux: bool = False,
+    n_segments: Optional[int] = None,
 ):
+    """Two-stage (coarse→fine) occupancy march.
+
+    Stage 1 probes ONE dilated 16³-per-cascade coarse cell per
+    ``COARSE_STRIDE``-step segment of the ladder (conservative:
+    :func:`build_coarse_occupancy`), stage 2 gathers the fused
+    density-or-zero field only inside surviving segments. Candidate
+    positions are identical to a flat ladder of ``n_candidates`` steps —
+    stage 1 only *skips* provably-empty segments — but the march costs
+    ~M/4 random gathers instead of ~2.4·M (the dominant term on TPU, where
+    random HBM lookups run at ~10⁸/s regardless of row width). Selection
+    and stratified spread run on lax.sort networks (VPU) instead of
+    binary-search gathers."""
     R = origins.shape[0]
     K = k_samples
-    M = n_candidates
-    m_bits = max(1, (M - 1).bit_length())
+    Q = COARSE_STRIDE
+    M = -(-n_candidates // Q) * Q
+    M1 = M // Q
     n_cascades = occupancy.shape[0]
     aabb = BoundingBox(aabb_lo, aabb_hi)
+    if n_segments is None:
+        S = max(K, 32) if selection == "spread" else max(K // 2, 16)
+    else:
+        S = n_segments
+    S = min(S, M1)
+    J = S * Q  # fine candidates examined
+
+    coarse = build_coarse_occupancy(occupancy).reshape(-1)
+    dens_field = masked_density_field(occupancy, density_grid).reshape(-1)
 
     tmin, tmax = aabb.ray_intersect(origins, directions)
     tmin = jnp.maximum(tmin, t_start_min)
@@ -201,56 +270,83 @@ def march_rays(
     if t_jitter is not None:
         t0 = t0 + coords.calc_dt(t0, cone_angle) * t_jitter
 
-    T, dt = step_ladder(t0, jnp.arange(M, dtype=jnp.int32), cone_angle)  # [R,M]
-    inside = T < tmax[:, None]
+    # ---- stage 1: segment ENDPOINTS vs the dilated coarse field -----------
+    # endpoints are shared between adjacent segments → M1+1 probes; a
+    # segment survives if either endpoint's coarse cell (at the endpoint's
+    # own mip) is occupied — conservative for every interior sample (see
+    # build_coarse_occupancy)
+    m_end = jnp.arange(M1 + 1, dtype=jnp.int32) * Q
+    T_end_pts, dt_end_pts = step_ladder(t0, m_end, cone_angle)  # [R, M1+1]
+    cflat = _candidate_cells(
+        origins, directions, T_end_pts, dt_end_pts, n_cascades, resolution=COARSE_RES
+    )
+    cflat = jax.lax.optimization_barrier(cflat)
+    probe = jnp.take(coarse, cflat, axis=0) > 0  # [R, M1+1]
+    seg_inside = T_end_pts[:, :-1] < tmax[:, None]
+    seg_occ = (probe[:, :-1] | probe[:, 1:]) & seg_inside  # [R, M1]
 
-    flat = _candidate_cells(origins, directions, T, dt, n_cascades)
-    # materialize the indices before gathering: without the barrier XLA fuses
-    # the whole index computation into (multiple) gather consumers and the
-    # fused kernel is far slower than gather-from-materialized-indices
-    flat = jax.lax.optimization_barrier(flat)
-    occ = jnp.take(occupancy.reshape(-1), flat, axis=0) & inside  # one gather
-    occ = jax.lax.optimization_barrier(occ)
+    seg_ids = jnp.broadcast_to(jnp.arange(M1, dtype=jnp.int32)[None, :], (R, M1))
+    seg_keys = jnp.where(seg_occ, seg_ids, seg_ids + M1)
+    (seg_sorted,) = _sorted_first(seg_keys, (), M1)
+    n_seg = jnp.sum(seg_occ.astype(jnp.int32), axis=1)  # [R]
+
+    if selection == "spread":
+        # stratified pick over occupied segments so training covers the
+        # whole occupied extent of the ray, not just its entry region
+        stride_s = jnp.clip(n_seg.astype(jnp.float32) / S, 1.0, spread_stride_cap)
+        u_s = spread_rng[:, 0:1] if spread_rng is not None else 0.5
+        js_raw = ((jnp.arange(S, dtype=jnp.float32)[None, :] + u_s) * stride_s[:, None]).astype(jnp.int32)
+        js = jnp.minimum(js_raw, jnp.maximum(n_seg, 1)[:, None] - 1)
+        sel_keys = jnp.take_along_axis(seg_sorted, js, axis=1)
+        # clamped picks are duplicates of the last occupied segment — invalid
+        pick_ok = js_raw < n_seg[:, None]
+    else:
+        stride_s = jnp.ones((R,), jnp.float32)
+        sel_keys = seg_sorted[:, :S]
+        pick_ok = True
+    seg_valid = (sel_keys < M1) & pick_ok  # [R, S]
+    seg_m = jnp.where(seg_valid, sel_keys, sel_keys - M1)
+
+    # ---- stage 2: fine ladder inside surviving segments -------------------
+    m_f = (seg_m[:, :, None] * Q + jnp.arange(Q, dtype=jnp.int32)[None, None, :]).reshape(R, J)
+    T_f, dt_f = step_ladder(t0, m_f, cone_angle)  # [R, J]
+    inside_f = (T_f < tmax[:, None]) & jnp.repeat(seg_valid, Q, axis=1)
+
+    fflat = _candidate_cells(origins, directions, T_f, dt_f, n_cascades)
+    fflat = jax.lax.optimization_barrier(fflat)
+    dens = jnp.take(dens_field, fflat, axis=0)
+    dens = jnp.where(inside_f, dens, 0.0)
+    occ_f = dens > 0  # [R, J], in ladder order (segments ascend)
 
     saturated = jnp.zeros((R,), jnp.bool_)
     if use_grid_early_stop and density_grid is not None:
-        dens = jnp.take(density_grid.reshape(-1), flat, axis=0)
-        tau = jnp.cumsum(jnp.where(occ, dens * dt, 0.0), axis=1)
-        keep = (tau - dens * dt) < grid_stop_tau  # exclusive cumsum test
-        saturated = jnp.any(occ & ~keep, axis=1)
-        occ &= keep
+        tau = jnp.cumsum(jnp.where(occ_f, dens * dt_f, 0.0), axis=1)
+        keep = (tau - dens * dt_f) < grid_stop_tau  # exclusive cumsum test
+        saturated = jnp.any(occ_f & ~keep, axis=1)
+        occ_f &= keep
 
-    ranks = jnp.cumsum(occ.astype(jnp.int32), axis=1)  # [R, M] inclusive
-    nocc = ranks[:, -1]  # [R]
+    nocc = jnp.sum(occ_f.astype(jnp.int32), axis=1)  # [R]
+    fine_ids = jnp.broadcast_to(jnp.arange(J, dtype=jnp.int32)[None, :], (R, J))
+    fine_keys = jnp.where(occ_f, fine_ids, fine_ids + J)
+    _, t_sorted, dt_sorted = _sorted_first(fine_keys, (T_f, dt_f), J)
 
     if selection == "spread":
-        # stratified rank targets over all occupied candidates; stride-scaled
-        # dt keeps the optical-depth integral calibrated when subsampling.
-        # The stride is CAPPED: unboundedly coarse dt (dense warm-up grids)
-        # lets training settle into a fog equilibrium — a uniform
-        # semi-transparent field fits photos under coarse quadrature, the
-        # occupancy grid then never clears, and renders saturate into fog.
-        # Capped at ~8× the base step the quadrature stays sharp (the
-        # reference trains at 1-8× base dt) while still covering 8× more
-        # ray than a first-K budget.
-        stride = jnp.clip(
-            nocc.astype(jnp.float32) / K, 1.0, spread_stride_cap
-        )[:, None]  # [R,1]
+        stride_f = jnp.clip(nocc.astype(jnp.float32) / K, 1.0, spread_stride_cap)
         ks = jnp.arange(K, dtype=jnp.float32)[None, :]
         u = spread_rng if spread_rng is not None else jnp.full((R, K), 0.5)
-        targets_f = (ks + u) * stride  # in [0, nocc)
-        targets = jnp.clip(targets_f.astype(jnp.int32) + 1, 1, jnp.maximum(nocc, 1)[:, None])
-        idx = _rank_select(ranks, targets, m_bits)
-        out_dt_scale = stride
+        jk = ((ks + u) * stride_f[:, None]).astype(jnp.int32)
+        jk = jnp.minimum(jk, jnp.maximum(nocc, 1)[:, None] - 1)
+        out_t = jnp.take_along_axis(t_sorted, jk, axis=1)
+        out_dt_raw = jnp.take_along_axis(dt_sorted, jk, axis=1)
+        # dt scaled by the TOTAL subsampling ratio, capped (uncapped coarse
+        # quadrature lets training settle into a fog equilibrium)
+        out_dt = out_dt_raw * jnp.clip(stride_s * stride_f, 1.0, spread_stride_cap)[:, None]
+        n = jnp.minimum(nocc, K)
     else:
-        targets = jnp.broadcast_to(jnp.arange(1, K + 1, dtype=jnp.int32)[None, :], (R, K))
-        idx = _rank_select(ranks, targets, m_bits)
-        out_dt_scale = jnp.ones((R, 1), jnp.float32)
+        out_t = t_sorted[:, :K]
+        out_dt = dt_sorted[:, :K]
+        n = jnp.minimum(nocc, K)
 
-    out_t = jnp.take_along_axis(T, idx, axis=1)
-    out_dt = jnp.take_along_axis(dt, idx, axis=1) * out_dt_scale
-
-    n = jnp.minimum(nocc, K)
     n = jnp.where(hit, n, 0)
     valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n[:, None]
     out_t = jnp.where(valid, out_t, 0.0)
@@ -258,11 +354,21 @@ def march_rays(
     batch = SampleBatch(t=out_t, dt=out_dt, valid=valid, n=n)
     if not with_aux:
         return batch
-    # t just past the last sample (for window continuation), and whether the
-    # ray still had occupied candidates beyond the K budget
-    last_t = jnp.max(jnp.where(valid, out_t + out_dt, 0.0), axis=1)
-    t_last = jnp.where(n > 0, last_t, jnp.where(hit, T[:, -1], tmax))
-    exhausted = (nocc > K) & hit
+    # continuation point for multi-window rendering: just past the last
+    # emitted sample when the K budget filled; else past the last EXAMINED
+    # segment when stage 1 had more occupied segments than S; else ray done
+    last_sample_end = jnp.max(jnp.where(valid, out_t + out_dt, 0.0), axis=1)
+    last_seg = jnp.max(jnp.where(seg_valid, seg_m, -1), axis=1)  # [-1 if none]
+    seg_end_t, _ = step_ladder(t0, (last_seg[:, None] + 1) * Q, cone_angle)
+    seg_exhausted = n_seg > S
+    T_end, _ = step_ladder(t0, jnp.full((R, 1), M - 1, jnp.int32), cone_angle)
+    t_done = jnp.where(hit, T_end[:, 0], tmax)
+    t_last = jnp.where(
+        nocc > K,
+        last_sample_end,
+        jnp.where(seg_exhausted, seg_end_t[:, 0], t_done),
+    )
+    exhausted = ((nocc > K) | seg_exhausted) & hit
     return batch, MarchAux(t_last=t_last, saturated=saturated, exhausted=exhausted)
 
 
