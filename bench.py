@@ -112,16 +112,20 @@ def bench_render():
         [[1.0, 0.0, 0.0, 0.5], [0.0, 1.0, 0.0, 0.5], [0.0, 0.0, 1.0, -0.8]], jnp.float32
     )
     focal = jnp.asarray([H * 1.2, H * 1.2])
-    opts = renderer.RenderOptions(aabb_scale=1)
+    # the interactive fast path: one shared march per 8×8 tile, larger
+    # chunks to amortize per-dispatch overhead (~4 ms through the tunnel)
+    opts = renderer.RenderOptions(aabb_scale=1, chunk=1 << 15)
 
     # warm/compile on a small frame (same chunk program as 1080p)
-    warm = renderer.render_frame(model, params, grid, (256, 144), xf, focal, opts=opts)
+    warm = renderer.render_frame_tiled(model, params, grid, (1024, 64), xf, focal, opts=opts)
     jax.block_until_ready(warm.rgba)
-    # one full 1080p frame: every chunk has unique ray inputs, so the
+    # full 1080p frames: every chunk has unique ray inputs, so the
     # runtime's execution memoization cannot shortcut it
+    import numpy as np
+
     t0 = time.perf_counter()
-    out = renderer.render_frame(model, params, grid, (W, H), xf, focal, opts=opts)
-    jax.block_until_ready(out.rgba)
+    out = renderer.render_frame_tiled(model, params, grid, (W, H), xf, focal, opts=opts)
+    float(np.asarray(out.rgba[0, 0, 0]))  # host round-trip forces the chain
     dt = time.perf_counter() - t0
     return 1.0 / dt
 

@@ -86,30 +86,56 @@ def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray,
     conforming), and hairline coverage gaps would otherwise leave unwarped
     seams. Extrapolated barycentrics are continuous and exact for affine
     cage motions. Strict lookups (eps > 0) disable the fallback."""
+    N = p.shape[0]
     res = lut.res
     cell = jnp.floor((p - lut.bbox_lo) * lut.inv_cell).astype(jnp.int32)
     inb = jnp.all((cell >= 0) & (cell < res), axis=-1)
     cell = jnp.clip(cell, 0, res - 1)
     ci = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
-    cand = lut.cells[ci]  # [N, MAX_T]
+    cand = lut.cells[ci]  # [N, MT]
+    MT = cand.shape[1]
     valid = cand >= 0
     cand_c = jnp.maximum(cand, 0)
 
-    d = p[:, None, :] - v0[cand_c]  # [N, MT, 3]
+    # ALL math on ≤2D arrays: XLA tile-pads >2D arrays with tiny minor dims
+    # (a [N,3,3] rotation gather pads 43× to [N,4,128] — 34 GB at grid-
+    # refresh batch sizes). One wide 2D row-gather + column arithmetic
+    # instead of per-candidate [N,MT,3,3] einsums.
+    table = jnp.concatenate([v0, inv_e.reshape(-1, 9)], axis=1)  # [Nt, 12]
+    rows = jnp.take(table, cand_c.reshape(-1), axis=0)  # [N·MT, 12]
+    pr = jnp.broadcast_to(p[:, None, :], (N, MT, 3)).reshape(N * MT, 3)
+    d = pr - rows[:, 0:3]
     # inv_e is the inverse of the column-edge matrix, so bary(1:) = inv_e @ d
-    b = jnp.einsum("nmij,nmj->nmi", inv_e[cand_c], d)
-    b0 = 1.0 - jnp.sum(b, axis=-1)
+    b1 = jnp.sum(rows[:, 3:6] * d, axis=1).reshape(N, MT)
+    b2 = jnp.sum(rows[:, 6:9] * d, axis=1).reshape(N, MT)
+    b3 = jnp.sum(rows[:, 9:12] * d, axis=1).reshape(N, MT)
+    b0 = 1.0 - b1 - b2 - b3
     # per-candidate containment score: most-negative barycentric component
-    score = jnp.minimum(jnp.min(b, axis=-1), b0)  # [N, MT]
+    score = jnp.minimum(jnp.minimum(b0, b1), jnp.minimum(b2, b3))  # [N, MT]
     score = jnp.where(valid & inb[:, None], score, -jnp.inf)
     best = jnp.argmax(score, axis=-1)
-    rows = jnp.arange(p.shape[0])
-    best_score = score[rows, best]
+    riota = jnp.arange(N)
+    best_score = score[riota, best]
     threshold = eps if eps > 0 else -near_miss
     found = best_score >= threshold
-    tet = cand_c[rows, best]
-    bary = jnp.concatenate([b0[rows, best][:, None], b[rows, best]], axis=-1)  # [N,4]
+    tet = cand_c[riota, best]
+    # recompute the winner's barycentrics from one [N,12] row-gather (2D)
+    # instead of selecting out of a [N,MT,4] tensor
+    brow = jnp.take(table, tet, axis=0)
+    db = p - brow[:, 0:3]
+    w1 = jnp.sum(brow[:, 3:6] * db, axis=1)
+    w2 = jnp.sum(brow[:, 6:9] * db, axis=1)
+    w3 = jnp.sum(brow[:, 9:12] * db, axis=1)
+    bary = jnp.stack([1.0 - w1 - w2 - w3, w1, w2, w3], axis=-1)  # [N,4]
     return found, tet, bary
+
+
+def _bary_delta(vert_delta: jnp.ndarray, tet: jnp.ndarray, bary: jnp.ndarray) -> jnp.ndarray:
+    """Σ_k bary_k · vert_delta[tet, k] with 2D-only arrays: the per-tet
+    4×3 vertex deltas are packed into [Nt, 12] rows so the gather stays 2D
+    (a [N,4,3] gather tile-pads ~20× on TPU)."""
+    rows = jnp.take(vert_delta.reshape(-1, 12), tet, axis=0)  # [N, 12]
+    return sum(bary[:, k : k + 1] * rows[:, 3 * k : 3 * k + 3] for k in range(4))
 
 
 def cage_map_samples(op: CageDeformationOp, pos: jnp.ndarray, direction: jnp.ndarray):
@@ -122,10 +148,12 @@ def cage_map_samples(op: CageDeformationOp, pos: jnp.ndarray, direction: jnp.nda
     zero displacement for an identity cage even in ill-conditioned sliver
     tets (fp32 E·E⁻¹ ≠ I noise scales with |deformation| instead of |p|)."""
     in_target, tet, bary = tet_lookup(op.lut_def, op.v0_def, op.inv_def, pos)
-    delta = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet] - op.verts_def[tet])
-    canonical = pos + delta
+    canonical = pos + _bary_delta(op.verts_orig - op.verts_def, tet, bary)
     # direction: deformed → canonical is the inverse (transpose) rotation
-    new_dir = jnp.einsum("nji,nj->ni", op.rot[tet], direction)
+    rot = jnp.take(op.rot.reshape(-1, 9), tet, axis=0)  # [N, 9] row-major
+    new_dir = jnp.stack(
+        [jnp.sum(rot[:, i::3] * direction, axis=1) for i in range(3)], axis=-1
+    )  # Rᵀ·dir via column slices (2D only — see tet_lookup layout note)
     new_dir = new_dir / (jnp.linalg.norm(new_dir, axis=-1, keepdims=True) + 1e-12)
 
     pos_out = jnp.where(in_target[:, None], canonical, pos)
@@ -140,7 +168,7 @@ def cage_map_samples(op: CageDeformationOp, pos: jnp.ndarray, direction: jnp.nda
 def cage_map_positions(op: CageDeformationOp, pos: jnp.ndarray):
     """Position-only warp for grid refresh (map_positions / interpolate_tet_pos)."""
     in_target, tet, bary = tet_lookup(op.lut_def, op.v0_def, op.inv_def, pos)
-    delta = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet] - op.verts_def[tet])
+    delta = _bary_delta(op.verts_orig - op.verts_def, tet, bary)
     pos_out = jnp.where(in_target[:, None], pos + delta, pos)
     in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos, eps=5e-3)
     kill = in_source & ~in_target & ~op.copy_mode
@@ -158,7 +186,7 @@ def cage_map_forward(op: CageDeformationOp, pos: jnp.ndarray):
     moves to its deformed location when baking an edit).
     Returns (mapped pos, in_source)."""
     in_source, tet, bary = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos)
-    delta = jnp.einsum("nk,nkd->nd", bary, op.verts_def[tet] - op.verts_orig[tet])
+    delta = _bary_delta(op.verts_def - op.verts_orig, tet, bary)
     return jnp.where(in_source[:, None], pos + delta, pos), in_source
 
 
@@ -264,9 +292,12 @@ def map_samples_through_stack_full(operators: List, pos: jnp.ndarray, direction:
     for op in reversed(operators):
         if isinstance(op, CageDeformationOp):
             in_target, tet, bary = tet_lookup(op.lut_def, op.v0_def, op.inv_def, pos)
-            delta = jnp.einsum("nk,nkd->nd", bary, op.verts_orig[tet] - op.verts_def[tet])
+            delta = _bary_delta(op.verts_orig - op.verts_def, tet, bary)
             new_pos = jnp.where(in_target[:, None], pos + delta, pos)
-            new_dir = jnp.einsum("nji,nj->ni", op.rot[tet], direction)
+            rot = jnp.take(op.rot.reshape(-1, 9), tet, axis=0)
+            new_dir = jnp.stack(
+                [jnp.sum(rot[:, i::3] * direction, axis=1) for i in range(3)], axis=-1
+            )
             new_dir = new_dir / (jnp.linalg.norm(new_dir, axis=-1, keepdims=True) + 1e-12)
             new_dir = jnp.where(in_target[:, None], new_dir, direction)
             in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos, eps=5e-3)

@@ -28,7 +28,10 @@ from typing import Any, Dict, Optional, Tuple
 import msgpack
 import numpy as np
 
-SNAPSHOT_VERSION = 1
+# v2: grid encodings default to the "brick" table layout (additive hash);
+# v1 snapshots were trained with the "paired" xor-hash layout, so loading
+# them injects layout="paired" to keep table indexing consistent.
+SNAPSHOT_VERSION = 2
 
 
 def _flatten_pytree(tree, prefix="") -> Dict[str, np.ndarray]:
@@ -134,6 +137,10 @@ def load_snapshot(path: str | Path) -> Dict[str, Any]:
     snap = msgpack.unpackb(blob, raw=False, strict_map_key=False)
     if snap.get("version", 0) > SNAPSHOT_VERSION:
         raise ValueError(f"snapshot version {snap['version']} too new")
+    if snap.get("version", 0) < 2:
+        enc = snap.get("network_config", {}).get("encoding", {})
+        if enc.get("otype", "HashGrid") in ("HashGrid", "DenseGrid", "TiledGrid", "Grid"):
+            enc.setdefault("layout", "paired")
     snap["params"] = _unpack_arrays(snap["params"])
     for k in ("opt_state", "ema_params"):
         if k in snap:

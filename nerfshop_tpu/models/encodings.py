@@ -4,17 +4,19 @@ The reference consumes tcnn encodings selected by JSON ``otype``
 (src/testbed.cu:2258-2302): HashGrid / DenseGrid / SphericalHarmonics /
 Frequency / OneBlob / TriangleWave / Identity / Composite. We re-implement
 the same math as vectorized JAX (gathers + VPU elementwise); the hash-grid
-hot path additionally has a Pallas kernel (ops/hashgrid_pallas.py) that the
-functional API dispatches to on TPU.
+hot path uses the "brick" layout (one wide row-gather per level, additive
+hashing) with a scatter-free sort/histogram backward (ops/table_ops.py).
 
-Numerical conventions follow tcnn's grid encoding exactly so that
-convergence behavior matches:
+Numerical conventions follow tcnn's grid encoding so that convergence
+behavior matches:
 
 * per-level scale: ``scale_l = 2^(l·log2(b)) · N_min − 1``,
   ``res_l = ceil(scale_l) + 1``
 * sample coordinate: ``p = x·scale_l + 0.5`` (cell-centered)
-* dense indexing when ``res_l³ ≤ T``; else spatial hash
-  ``(x · 1) ⊕ (y · 2654435761) ⊕ (z · 805459861) mod T``
+* dense indexing when ``res_l³ ≤ T``; else spatial hash — xor-of-primes
+  ``x ⊕ (y·2654435761) ⊕ (z·805459861) mod T`` in the tcnn-parity layouts,
+  ADDITIVE ``(x + y·2654435761 + z·805459861) mod T`` in the brick layout
+  (so all cell corners sit at fixed slot offsets → one gather per level)
 * trilinear interpolation of F features per level; init U(−1e−4, 1e−4).
 """
 
@@ -59,16 +61,26 @@ class GridEncoding(Encoding):
     per_level_scale: float = 2.0
     hash_type: str = "hash"  # "hash" (HashGrid) or "dense" (DenseGrid)
     interpolation: str = "linear"
-    #: gather x-adjacent corner PAIRS as single rows of a doubled table —
-    #: halves the gather count, the dominant cost on TPU (random row-gathers
-    #: run at ~10⁸/s via the DMA engine regardless of row width). The hash
-    #: places x additively, (h(y,z) + x) mod (size−1), so corner x+1 lives at
-    #: slot idx+1; dense levels are x-fastest already. Math is exact vs. the
-    #: per-corner formulation (boundary x-clamps fold into the lerp weight).
-    paired: bool = True
+    #: Table access strategy — the perf-critical design choice on TPU, where
+    #: random row-gathers are the cost (~1.3e8–2.6e8 rows/s on v5e) and
+    #: scatter-adds are worse (~1.2e7 rows/s):
+    #:
+    #: * "brick" (default): ONE row-gather per level per sample. The hash is
+    #:   ADDITIVE — idx = (x + y·P2 + z·P3) mod m, m a power of two — so all
+    #:   2^D cell corners live at fixed offsets {cx + cy·sy + cz·sz} from the
+    #:   base slot, and a derived "brick" table (one dense roll of the
+    #:   canonical table per corner, rebuilt inside the jitted step) serves
+    #:   all corners in a single wide row. C0 continuity is preserved because
+    #:   bricks alias the SAME canonical entries. Backward is the
+    #:   scatter-free sort/cumsum/histogram pipeline (ops/table_ops.py).
+    #: * "paired": 2^(D−1) gathers per level (x-corner pairs share a row).
+    #: * "plain": 2^D gathers per level (tcnn-layout xor hash, exact
+    #:   tcnn-parity indexing; kept for interop/ablation).
+    layout: str = "brick"
 
     def __post_init__(self):
         assert self.n_input_dims in (2, 3), "grid encoding supports 2D/3D"
+        assert self.layout in ("brick", "paired", "plain"), self.layout
         T = 1 << self.log2_hashmap_size
         self.level_scales: List[float] = []
         self.level_res: List[int] = []
@@ -82,16 +94,44 @@ class GridEncoding(Encoding):
             if self.hash_type == "dense":
                 size = dense_size
                 dense = True
+            elif self.layout == "brick":
+                # dense when it fits; else the full power-of-two hash size
+                # (additive hashing needs m | 2^32 for modular consistency)
+                dense = dense_size <= T
+                size = dense_size if dense else T
             else:
                 # align to 8 like tcnn, cap at hashmap size
                 size = min(T, -(-dense_size // 8) * 8)
                 dense = dense_size <= T
+            if self.layout == "brick":
+                # histogram backward needs m % 128 == 0 (radix-128 matmul)
+                size = -(-size // 128) * 128
             self.level_scales.append(scale)
             self.level_res.append(res)
             self.level_sizes.append(size)
             self.level_dense.append(dense)
             self.level_offsets.append(self.level_offsets[-1] + size)
         self.table_size = self.level_offsets[-1]
+        if self.layout == "brick":
+            self._brick_shifts: List[List[int]] = []
+            D = self.n_input_dims
+            for l in range(self.n_levels):
+                m = self.level_sizes[l]
+                res = self.level_res[l]
+                if self.level_dense[l]:
+                    strides = [1, res, res * res][:D]
+                else:
+                    strides = [1] + [int(_HASH_PRIMES[d] % np.uint32(m)) for d in range(1, D)]
+                shifts = []
+                for c in range(1 << D):
+                    s = sum(((c >> d) & 1) * strides[d] for d in range(D))
+                    shifts.append(int(s % m))
+                self._brick_shifts.append(shifts)
+            from nerfshop_tpu.ops import table_ops
+
+            self._brick_gather = table_ops.make_level_gather(
+                self.level_sizes, (1 << D) * self.n_features_per_level
+            )
 
     @property
     def n_output_dims(self) -> int:
@@ -194,6 +234,60 @@ class GridEncoding(Encoding):
             local = (hashed % m + x0u) % m
         return local.astype(jnp.int32) + self.level_offsets[l], w_yz, fx
 
+    def _brick_tables(self, table: jnp.ndarray) -> list:
+        """Canonical table [Σm, F] → per-level brick tables [[m_l, 2^D·F]]:
+        corner c's features live at columns [cF, (c+1)F) of the row at the
+        cell's base slot (one dense roll per corner — differentiable, so the
+        backward reduces brick-row grads onto canonical entries with dense
+        adds). Kept per level: gather throughput degrades with operand
+        footprint (ops/table_ops.make_level_gather)."""
+        blocks = []
+        for l in range(self.n_levels):
+            Tl = table[self.level_offsets[l] : self.level_offsets[l + 1]]
+            cols = [Tl if s == 0 else jnp.roll(Tl, -s, axis=0) for s in self._brick_shifts[l]]
+            blocks.append(jnp.concatenate(cols, axis=1))
+        return blocks
+
+    def _brick_indices(self, x: jnp.ndarray):
+        """x [N, D] → (base slot idx [L, N], corner weights [L, N, 2^D]).
+
+        Boundary clamp is folded into the weights: when p0_d == res−1 the
+        +1 corner on axis d aliases p0_d in the reference's clamped indexing,
+        so that axis's lerp weight collapses to the base corner — identical
+        math, no index clamping needed."""
+        D = self.n_input_dims
+        N = x.shape[0]
+        idxs, weights = [], []
+        for l in range(self.n_levels):
+            res = self.level_res[l]
+            m = self.level_sizes[l]
+            p = x * jnp.asarray(self.level_scales[l], x.dtype) + 0.5
+            p0f = jnp.floor(p)
+            frac = p - p0f
+            p0 = jnp.clip(p0f.astype(jnp.int32), 0, res - 1)
+            w1 = jnp.where(p0 == res - 1, 0.0, frac)  # [N, D]
+            cu = p0.astype(jnp.uint32)
+            if self.level_dense[l]:
+                if D == 3:
+                    base = cu[:, 0] + np.uint32(res) * (cu[:, 1] + np.uint32(res) * cu[:, 2])
+                else:
+                    base = cu[:, 0] + np.uint32(res) * cu[:, 1]
+            else:
+                base = cu[:, 0]
+                for d in range(1, D):
+                    base = base + cu[:, d] * jnp.uint32(_HASH_PRIMES[d])
+                base = base & np.uint32(m - 1)
+            idxs.append(base.astype(jnp.int32))
+            offs = jnp.asarray(
+                np.stack([[(c >> d) & 1 for d in range(D)] for c in range(1 << D)]),
+                x.dtype,
+            )  # [C, D]
+            wc = jnp.prod(
+                jnp.where(offs[None] == 1, w1[:, None, :], 1.0 - w1[:, None, :]), axis=-1
+            )  # [N, C]
+            weights.append(wc)
+        return jnp.stack(idxs), jnp.stack(weights)
+
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, D] in [0,1] → [N, L·F].
 
@@ -202,7 +296,16 @@ class GridEncoding(Encoding):
         round-1 render OOM), while 2D gathers get a clean flipped layout."""
         table = params["table"]
         F = self.n_features_per_level
-        if self.paired:
+        if self.layout == "brick":
+            C = 1 << self.n_input_dims
+            B = self._brick_tables(table)
+            idx, w = self._brick_indices(x)  # [L, N], [L, N, C]
+            feats = self._brick_gather(B, idx)  # [L, N, C·F]
+            L, N = idx.shape
+            feats = feats.reshape(L, N, C, F)
+            out = jnp.einsum("lnc,lncf->lnf", w.astype(feats.dtype), feats)
+            return out.transpose(1, 0, 2).reshape(N, self.n_output_dims)
+        if self.layout == "paired":
             # doubled table: row i = (canon[i], canon[i+1]) → one row-gather
             # fetches both x-corners (roll is dense + autodiff-transparent)
             pair = jnp.concatenate([table, jnp.roll(table, -1, axis=0)], axis=-1)
@@ -489,6 +592,7 @@ def build_encoding(cfg: dict, n_input_dims: int, per_level_scale: Optional[float
             per_level_scale=per_level_scale or cfg.get("per_level_scale", 2.0),
             hash_type="dense" if otype == "DenseGrid" else "hash",
             interpolation=cfg.get("interpolation", "linear").lower(),
+            layout=cfg.get("layout", "brick"),
         )
     if otype == "SphericalHarmonics":
         return SphericalHarmonicsEncoding(n_input_dims=3, degree=cfg.get("degree", 4))

@@ -157,7 +157,7 @@ COARSE_STRIDE = 8
 COARSE_RES = 16
 
 
-def build_coarse_occupancy(occupancy: jnp.ndarray) -> jnp.ndarray:
+def build_coarse_occupancy(occupancy: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     """[C,128,128,128] bool → dilated coarse mip chain [C,16,16,16] float32
     (>0 = some fine cell occupied nearby).
 
@@ -186,7 +186,10 @@ def build_coarse_occupancy(occupancy: jnp.ndarray) -> jnp.ndarray:
             levels.append(d[k].at[lo:hi, lo:hi, lo:hi].max(pooled))
         d = jnp.stack(levels)
     for axis in (1, 2, 3):
-        d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
+        acc = d
+        for s in range(1, dilation + 1):
+            acc = acc | jnp.roll(d, s, axis) | jnp.roll(d, -s, axis)
+        d = acc
     return d.astype(jnp.float32)
 
 
@@ -370,6 +373,133 @@ def march_rays(
     )
     exhausted = ((nocc > K) | seg_exhausted) & hit
     return batch, MarchAux(t_last=t_last, saturated=saturated, exhausted=exhausted)
+
+
+def dilate_field(field: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Per-cascade 3D max-dilation of a [C,R,R,R] field by ±radius cells
+    (separable max-pool via reduce_window — minor-axis jnp.roll lowers to
+    slow unaligned lane shifts on TPU, ~65 ms per 128³ roll). Used to make
+    per-TILE marching conservative for every member ray of the tile."""
+    w = 2 * radius + 1
+    return jax.lax.reduce_window(
+        field,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, w, w, w),
+        window_strides=(1, 1, 1, 1),
+        padding="SAME",
+    )
+
+
+def march_tiles(
+    origins: jnp.ndarray,  # [T, 3] tile-center ray origins
+    directions: jnp.ndarray,  # [T, 3] unit
+    coarse_dilated: jnp.ndarray,  # [C·16³] from build_coarse_occupancy(dilated occ)
+    fine_dilated: jnp.ndarray,  # [C·128³] dilate_field(masked_density, r)
+    aabb_lo,
+    aabb_hi,
+    cone_angle,
+    n_cascades: int,
+    t_start_min: float = 0.0,
+    k_slots: int = 96,
+    n_candidates: int = 1024,
+    n_segments: int = 32,
+):
+    """Shared-march for TILED rendering: ONE two-stage march per 8×8-pixel
+    tile instead of per ray.
+
+    All rays of a tile reuse the tile-center march against *dilated*
+    occupancy fields (dilation ≥ the tile frustum's world footprint), so the
+    returned slot list conservatively covers every member ray's occupied
+    cells. The ladder is GLOBAL (t measured from ``t_start_min``, not the
+    per-ray AABB entry) so slot t-values are valid for every ray; member
+    rays mask slots outside their own [tmin, tmax).
+
+    → (t_slots [T,K], dt_slots [T,K], slot_valid [T,K], n [T]). Slots ascend
+    in t. This is the render fast path: per-RAY gather cost is zero; the
+    per-tile cost is ~(M/Q + S·Q) gathers, amortized over 64 rays.
+    """
+    Tn = origins.shape[0]
+    Q = COARSE_STRIDE
+    M = -(-n_candidates // Q) * Q
+    M1 = M // Q
+    S = min(n_segments, M1)
+    J = S * Q
+    K = k_slots
+    aabb = BoundingBox(aabb_lo, aabb_hi)
+
+    tmin, tmax = aabb.ray_intersect(origins, directions)
+    tmax = jnp.where(tmin < tmax, tmax, 0.0)
+    t0 = jnp.full((Tn,), t_start_min, jnp.float32)  # GLOBAL ladder origin
+
+    m_end = jnp.arange(M1 + 1, dtype=jnp.int32) * Q
+    T_end_pts, dt_end_pts = step_ladder(t0, m_end, cone_angle)
+    cflat = _candidate_cells(
+        origins, directions, T_end_pts, dt_end_pts, n_cascades, resolution=COARSE_RES
+    )
+    cflat = jax.lax.optimization_barrier(cflat)
+    probe = jnp.take(coarse_dilated, cflat, axis=0) > 0
+    seg_inside = T_end_pts[:, :-1] < tmax[:, None]
+    seg_occ = (probe[:, :-1] | probe[:, 1:]) & seg_inside
+
+    seg_ids = jnp.broadcast_to(jnp.arange(M1, dtype=jnp.int32)[None, :], (Tn, M1))
+    seg_keys = jnp.where(seg_occ, seg_ids, seg_ids + M1)
+    (seg_sorted,) = _sorted_first(seg_keys, (), S)
+    seg_valid = seg_sorted < M1
+    seg_m = jnp.where(seg_valid, seg_sorted, seg_sorted - M1)
+
+    m_f = (seg_m[:, :, None] * Q + jnp.arange(Q, dtype=jnp.int32)[None, None, :]).reshape(Tn, J)
+    T_f, dt_f = step_ladder(t0, m_f, cone_angle)
+    inside_f = (T_f < tmax[:, None]) & jnp.repeat(seg_valid, Q, axis=1)
+    fflat = _candidate_cells(origins, directions, T_f, dt_f, n_cascades)
+    fflat = jax.lax.optimization_barrier(fflat)
+    dens = jnp.where(inside_f, jnp.take(fine_dilated, fflat, axis=0), 0.0)
+    occ_f = dens > 0
+
+    nocc = jnp.sum(occ_f.astype(jnp.int32), axis=1)
+    fine_ids = jnp.broadcast_to(jnp.arange(J, dtype=jnp.int32)[None, :], (Tn, J))
+    fine_keys = jnp.where(occ_f, fine_ids, fine_ids + J)
+    _, t_sorted, dt_sorted = _sorted_first(fine_keys, (T_f, dt_f), min(K, J))
+    n = jnp.minimum(nocc, K)
+    if J < K:
+        pad = K - J
+        t_sorted = jnp.pad(t_sorted, ((0, 0), (0, pad)))
+        dt_sorted = jnp.pad(dt_sorted, ((0, 0), (0, pad)))
+    slot_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n[:, None]
+    t_slots = jnp.where(slot_valid, t_sorted[:, :K], 0.0)
+    dt_slots = jnp.where(slot_valid, dt_sorted[:, :K], 0.0)
+    return t_slots, dt_slots, slot_valid, n
+
+
+def coarse_any_hit(
+    origins: jnp.ndarray,  # [T, 3]
+    directions: jnp.ndarray,  # [T, 3] unit
+    coarse_dilated: jnp.ndarray,  # [C·16³] from build_coarse_occupancy
+    aabb_lo,
+    aabb_hi,
+    cone_angle,
+    n_cascades: int,
+    t_start_min: float = 0.0,
+    n_candidates: int = 1024,
+) -> jnp.ndarray:
+    """Cheap tile-cull predicate: does the ray's ladder touch ANY occupied
+    coarse cell? Probes only the 16³-per-cascade dilated chain (20 KB —
+    VMEM-speed gathers), ~M/8 probes per ray. Conservative superset of
+    march_tiles' stage-1 survivors; used to skip whole 8×8 pixel tiles
+    before the full march+eval (the analog of the reference's early ray
+    retirement at init, advance_pos_nerf testbed_nerf.cu:557)."""
+    Tn = origins.shape[0]
+    Q = COARSE_STRIDE
+    M1 = (-(-n_candidates // Q) * Q) // Q
+    aabb = BoundingBox(aabb_lo, aabb_hi)
+    tmin, tmax = aabb.ray_intersect(origins, directions)
+    t0 = jnp.full((Tn,), t_start_min, jnp.float32)
+    m_end = jnp.arange(M1 + 1, dtype=jnp.int32) * Q
+    T_pts, dt_pts = step_ladder(t0, m_end, cone_angle)
+    cflat = _candidate_cells(origins, directions, T_pts, dt_pts, n_cascades, resolution=COARSE_RES)
+    probe = jnp.take(coarse_dilated, cflat, axis=0) > 0
+    inside = (T_pts >= tmin[:, None]) & (T_pts < tmax[:, None]) & (tmin < tmax)[:, None]
+    return jnp.any(probe & inside, axis=1)
 
 
 def march_rays_training(

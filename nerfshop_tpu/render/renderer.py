@@ -60,11 +60,12 @@ class RenderOptions:
     use_grid_early_stop: bool = True
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     #: network evaluation runs only on VALID samples, compacted into a slab
-    #: of ``compact_frac · chunk · k_samples`` rows (sky/terminated samples
-    #: cost a scatter row instead of a field eval). 0 disables. Samples past
-    #: the budget fall back to σ=0 — with first-K selection those are the
-    #: farthest samples of the busiest rays.
-    compact_frac: float = 0.5
+    #: of ``compact_frac · chunk · k_samples`` rows. 0 (default) disables:
+    #: the compaction is a scatter, and TPU scatters run at ~12 M rows/s —
+    #: slower than just field-evaluating the invalid rows. Tile culling
+    #: (render_frame_tiled) is the TPU-native replacement: skip work at
+    #: 8×8-pixel granularity on the host instead of per-sample on device.
+    compact_frac: float = 0.0
     #: view-aligned slice distance for RenderMode.Slice (m_slice_plane_z)
     slice_z: float = 0.5
     #: number of edit operators baked into the compiled chunk fn (operators
@@ -253,6 +254,321 @@ def _render_chunk(
             alpha = acc_opacity + trans * bg[3]
         rgba = jnp.concatenate([rgb_out, alpha[:, None]], -1)
     return rgba, depth
+
+
+def _tile_pixel_rays(
+    sel: jnp.ndarray,  # [Tc] tile indices into the Wt×Ht tile grid
+    Wt: int,
+    tile: int,
+    resolution,  # (Wp, Hp) padded full-res
+    xform,
+    focal,
+    principal,
+    distortion,
+):
+    """Member + center rays for the SELECTED tiles only, computed
+    arithmetically from tile ids — no full-frame [H·W, 3] ray arrays (whose
+    tile-major transpose alone cost ~0.9 s/frame at 1080p on TPU)."""
+    Wp, Hp = resolution
+    tx = (sel % Wt).astype(jnp.float32)
+    ty = (sel // Wt).astype(jnp.float32)
+    oy, ox = jnp.meshgrid(jnp.arange(tile, dtype=jnp.float32), jnp.arange(tile, dtype=jnp.float32), indexing="ij")
+    px = tx[:, None] * tile + ox.reshape(-1)[None]  # [Tc, P]
+    py = ty[:, None] * tile + oy.reshape(-1)[None]
+    pix = jnp.stack([px, py], -1)
+    res = jnp.asarray([Wp, Hp], jnp.float32)
+    b = rays_lib.pixel_to_ray(pix, xform, focal, principal, res, distortion, None)
+    # tile-center ray ≡ full-res ray through the tile's center pixel
+    pix_c = jnp.stack([tx * tile + tile / 2 - 0.5, ty * tile + tile / 2 - 0.5], -1)
+    bc = rays_lib.pixel_to_ray(pix_c, xform, focal, principal, res, distortion, None)
+    return b.origins, b.directions, bc.origins, bc.directions
+
+
+def _march_tile_chunk(
+    coarse5: jnp.ndarray,
+    fine_dil: jnp.ndarray,
+    n_cascades: int,
+    c_origins: jnp.ndarray,  # [Tc, 3]
+    c_directions: jnp.ndarray,  # [Tc, 3]
+    opts: RenderOptions,
+):
+    """March phase of the tiled renderer: one shared two-stage march per
+    tile → (t, dt, valid [Tc,K], n [Tc]). ~27× cheaper than the eval phase,
+    so it runs for every coarse-cull survivor and its ``n`` prunes the eval
+    set exactly (a tile with n==0 is PROVABLY empty — the march fields are
+    dilated conservatively for the tile frustum)."""
+    aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
+    K_total = opts.k_samples * max(1, opts.n_windows)
+    return march.march_tiles(
+        c_origins, c_directions, coarse5, fine_dil,
+        aabb.min, aabb.max, jnp.asarray(opts.cone_angle),
+        n_cascades=n_cascades, t_start_min=NEAR_DISTANCE_RENDER,
+        k_slots=K_total, n_candidates=opts.n_candidates,
+        n_segments=max(32, K_total // 2),
+    )
+
+
+def _eval_tile_chunk(
+    model: NerfNetwork,
+    params,
+    origins: jnp.ndarray,  # [Tc, P, 3] member rays
+    directions: jnp.ndarray,  # [Tc, P, 3]
+    t_slots: jnp.ndarray,  # [Tc, K_total] shared tile march
+    dt_slots: jnp.ndarray,
+    slot_valid: jnp.ndarray,
+    opts: RenderOptions,
+    bg: jnp.ndarray,
+    operators: tuple = (),
+    envmap: Optional[jnp.ndarray] = None,
+):
+    """Eval phase: slab-wise field evaluation over the shared tile slots
+    with front-to-back carry so saturated rays invalidate later slabs (the
+    analog of the reference's 8-evals-between-compactions loop,
+    testbed_nerf.cu:2827 — slabs instead of compaction rounds)."""
+    aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
+    Tc, P = origins.shape[:2]
+    K_slab = opts.k_samples
+    n_slabs = max(1, opts.n_windows)
+    K_total = K_slab * n_slabs
+
+    R = Tc * P
+    o_flat = origins.reshape(R, 3)
+    d_flat = directions.reshape(R, 3)
+    tmin_r, tmax_r = aabb.ray_intersect(o_flat, d_flat)
+    tmin_r = jnp.maximum(tmin_r, NEAR_DISTANCE_RENDER)
+    ray_hit = tmin_r < tmax_r
+
+    acc_rgb = jnp.zeros((R, 3))
+    acc_opacity = jnp.zeros((R,))
+    trans = jnp.ones((R,))
+    depth = jnp.zeros((R,))
+    n_used = jnp.zeros((R,), jnp.int32)
+    samples = None
+    for s in range(n_slabs):
+        sl = slice(s * K_slab, (s + 1) * K_slab)
+        t_r = jnp.broadcast_to(t_slots[:, None, sl], (Tc, P, K_slab)).reshape(R, K_slab)
+        dt_r = jnp.broadcast_to(dt_slots[:, None, sl], (Tc, P, K_slab)).reshape(R, K_slab)
+        v_r = jnp.broadcast_to(slot_valid[:, None, sl], (Tc, P, K_slab)).reshape(R, K_slab)
+        live = ray_hit & (trans > opts.min_transmittance)
+        v_r = v_r & (t_r >= tmin_r[:, None]) & (t_r < tmax_r[:, None]) & live[:, None]
+        samples = march.SampleBatch(
+            t=jnp.where(v_r, t_r, 0.0), dt=jnp.where(v_r, dt_r, 0.0),
+            valid=v_r, n=jnp.sum(v_r.astype(jnp.int32), axis=1),
+        )
+        sigma, rgb_s = _eval_window(model, params, samples, o_flat, d_flat, opts, aabb, operators)
+        res = comp.composite(sigma, rgb_s, samples.dt, samples.t, samples.valid, opts.min_transmittance)
+        acc_rgb = acc_rgb + trans[:, None] * res.rgb
+        depth = jnp.where(acc_opacity > 0, depth, res.depth)
+        acc_opacity = acc_opacity + trans * res.opacity
+        trans = trans * res.transmittance
+        n_used = n_used + res.n_used
+
+    if opts.mode in (RenderMode.Depth, RenderMode.Distance):
+        v = depth[:, None] * jnp.ones((1, 3))
+        rgba = jnp.concatenate([v, acc_opacity[:, None]], -1)
+    elif opts.mode == RenderMode.Cost:
+        v = (n_used.astype(jnp.float32) / K_total)[:, None] * jnp.ones((1, 3))
+        rgba = jnp.concatenate([v, jnp.ones_like(v[:, :1])], -1)
+    elif opts.mode == RenderMode.AO:
+        v = acc_opacity[:, None] * jnp.ones((1, 3))
+        rgba = jnp.concatenate([v, acc_opacity[:, None]], -1)
+    else:
+        if envmap is not None:
+            from nerfshop_tpu.ops import envmap as envmap_lib
+
+            bg_ray = envmap_lib.sample_envmap(jnp.asarray(envmap), d_flat)
+            rgb_out = acc_rgb + trans[:, None] * bg_ray[:, :3]
+            alpha = acc_opacity + trans
+        else:
+            rgb_out = acc_rgb + trans[:, None] * bg[:3]
+            alpha = acc_opacity + trans * bg[3]
+        rgba = jnp.concatenate([rgb_out, alpha[:, None]], -1)
+    return rgba.reshape(Tc, P, 4), depth.reshape(Tc, P)
+
+
+#: render modes the tiled fast path supports; others fall back to per-ray
+TILED_MODES = (
+    RenderMode.Shade, RenderMode.Depth, RenderMode.Distance,
+    RenderMode.AO, RenderMode.Cost,
+)
+
+
+def _make_tiled_fields_fn():
+    @jax.jit
+    def fields(occupancy, density):
+        coarse5 = march.build_coarse_occupancy(occupancy, dilation=2).reshape(-1)
+        fine = march.dilate_field(march.masked_density_field(occupancy, density), 2).reshape(-1)
+        return coarse5, fine
+
+    return fields
+
+
+_TILED_FIELDS_FN = None
+_TILED_FIELDS_CACHE: dict = {}
+_CULL_FN_CACHE: dict = {}
+
+
+def render_frame_tiled(
+    model: NerfNetwork,
+    params,
+    grid,
+    resolution: Tuple[int, int],
+    xform: jnp.ndarray,
+    focal: jnp.ndarray,
+    principal: jnp.ndarray = None,
+    distortion: Optional[jnp.ndarray] = None,
+    opts: RenderOptions = RenderOptions(),
+    subpixel_jitter: Optional[jnp.ndarray] = None,
+    operators: tuple = (),
+    envmap: Optional[jnp.ndarray] = None,
+    tile: int = 8,
+) -> FrameOutput:
+    """Tiled fast-path renderer: one shared march per ``tile``×``tile`` pixel
+    block (conservative via field dilation sized to the tile frustum's world
+    footprint), slab-wise evaluation. Falls back to :func:`render_frame` for
+    modes that need per-sample machinery the tile path doesn't carry.
+
+    The dilation radius (2 fine cells) covers the frustum footprint of an
+    8×8-pixel tile at focal lengths ≥ ~0.6·H — for wider-angle/lower-res
+    frames the footprint grows, so callers should shrink ``tile`` (the
+    Testbed picks tile size from the focal length).
+    """
+    if opts.mode not in TILED_MODES or subpixel_jitter is not None:
+        # (subpixel jitter needs per-pixel offsets the arithmetic tile ray
+        # generator doesn't carry — spp accumulation uses the exact path)
+        return render_frame(
+            model, params, grid, resolution, xform, focal, principal,
+            distortion, opts, subpixel_jitter, operators, envmap,
+        )
+    W, H = resolution
+    principal = jnp.asarray([0.5, 0.5]) if principal is None else principal
+    bg = jnp.asarray(opts.background, jnp.float32)
+    operators = tuple(operators)
+    op_kinds = tuple(type(op).__name__ for op in operators)
+    Wt, Ht = -(-W // tile), -(-H // tile)
+    Wp, Hp = Wt * tile, Ht * tile
+    P = tile * tile
+    n_tiles = Wt * Ht
+    tc = max(1, opts.chunk // P)
+    n_casc = grid.occupancy.shape[0]
+    aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
+    K_total = opts.k_samples * max(1, opts.n_windows)
+
+    # --- phase 0: derived march fields, cached per grid revision
+    global _TILED_FIELDS_FN
+    if _TILED_FIELDS_FN is None:
+        _TILED_FIELDS_FN = _make_tiled_fields_fn()
+    fkey = (id(grid.occupancy), id(grid.density))
+    hit = _TILED_FIELDS_CACHE.get(fkey)
+    if hit is None:
+        hit = _TILED_FIELDS_CACHE[fkey] = _TILED_FIELDS_FN(grid.occupancy, grid.density)
+        if len(_TILED_FIELDS_CACHE) > 4:
+            _TILED_FIELDS_CACHE.pop(next(iter(_TILED_FIELDS_CACHE)))
+    coarse5, fine_dil = hit
+
+    # --- phase 1: coarse cull over ALL tile centers (mini-frame rays)
+    rkey = ("tiled-centers", Wt, Ht, distortion is not None)
+    center_fn = _RAYS_FN_CACHE.get(rkey)
+    if center_fn is None:
+        def _centers(xf, f, pp, dist):
+            b = rays_lib.rays_for_image((Wt, Ht), xf, f / tile, pp, dist, None)
+            return b.origins, b.directions
+
+        center_fn = jax.jit(_centers)
+        _RAYS_FN_CACHE[rkey] = center_fn
+    co, cd = center_fn(xform, focal, principal, distortion)
+
+    ckey_cull = (opts.aabb_scale, float(opts.cone_angle), opts.n_candidates, n_casc)
+    cull_fn = _CULL_FN_CACHE.get(ckey_cull)
+    if cull_fn is None:
+        def _cull(co, cd, coarse5):
+            return march.coarse_any_hit(
+                co, cd, coarse5, aabb.min, aabb.max, jnp.asarray(opts.cone_angle),
+                n_cascades=n_casc, t_start_min=NEAR_DISTANCE_RENDER,
+                n_candidates=opts.n_candidates,
+            )
+
+        cull_fn = jax.jit(_cull)
+        _CULL_FN_CACHE[ckey_cull] = cull_fn
+    occ_mask = np.asarray(cull_fn(co, cd, coarse5))
+    if envmap is not None:
+        # envmap background varies per pixel — don't cull those tiles
+        occ_mask = np.ones_like(occ_mask)
+
+    sky_rgba = jnp.concatenate([bg[:3] * bg[3], bg[3:4]])
+    rgba = jnp.broadcast_to(sky_rgba, (n_tiles, P, 4))
+    depth = jnp.zeros((n_tiles, P))
+    sel0 = np.nonzero(occ_mask)[0]
+
+    if len(sel0):
+        # --- phase 2: shared tile march for cull survivors (~27× cheaper
+        # than eval); its exact n==0 verdict prunes the eval set
+        mkey = (opts, tc, n_casc, "tile-march")
+        march_fn = _CHUNK_FN_CACHE.get(mkey)
+        if march_fn is None:
+            def _mfn(coarse5, fine_dil, c_o, c_d):
+                return _march_tile_chunk(coarse5, fine_dil, n_casc, c_o, c_d, opts)
+
+            march_fn = jax.jit(_mfn)
+            _CHUNK_FN_CACHE[mkey] = march_fn
+
+        sel0_pad = np.concatenate([sel0, np.full((-len(sel0)) % tc, sel0[-1], sel0.dtype)])
+        sel0_j = jnp.asarray(sel0_pad)
+        co_s, cd_s = jnp.take(co, sel0_j, axis=0), jnp.take(cd, sel0_j, axis=0)
+        parts = [
+            march_fn(coarse5, fine_dil, co_s[i * tc : (i + 1) * tc], cd_s[i * tc : (i + 1) * tc])
+            for i in range(len(sel0_pad) // tc)
+        ]
+        t_all = jnp.concatenate([p[0] for p in parts])
+        dt_all = jnp.concatenate([p[1] for p in parts])
+        v_all = jnp.concatenate([p[2] for p in parts])
+        n_all = np.asarray(jnp.concatenate([p[3] for p in parts]))
+        if envmap is None:
+            keep = np.nonzero(n_all[: len(sel0)] > 0)[0]
+        else:
+            # every tile still composites the per-pixel envmap background
+            keep = np.arange(len(sel0))
+    else:
+        keep = np.empty((0,), np.int64)
+
+    if len(keep):
+        # --- phase 3: field eval only for tiles with actual march samples
+        ekey = (id(model), opts, tc, P, op_kinds, envmap is not None, n_casc,
+                Wt, Wp, Hp, distortion is not None, "tile-eval")
+        eval_fn = _CHUNK_FN_CACHE.get(ekey)
+        if eval_fn is None:
+            def _efn(params, sel_chunk, xf, f, pp, dist, t_c, dt_c, v_c, bg, operators, envmap):
+                o, d, _, _ = _tile_pixel_rays(sel_chunk, Wt, tile, (Wp, Hp), xf, f, pp, dist)
+                return _eval_tile_chunk(
+                    model, params, o, d, t_c, dt_c, v_c, opts, bg, operators, envmap
+                )
+
+            eval_fn = jax.jit(_efn)
+            _CHUNK_FN_CACHE[ekey] = eval_fn
+
+        keep_pad = np.concatenate([keep, np.full((-len(keep)) % tc, keep[-1], keep.dtype)])
+        keep_j = jnp.asarray(keep_pad)
+        sel1_j = jnp.asarray(sel0_pad)[keep_j]  # tile ids in the full grid
+        t_s = jnp.take(t_all, keep_j, axis=0)
+        dt_s = jnp.take(dt_all, keep_j, axis=0)
+        v_s = jnp.take(v_all, keep_j, axis=0)
+        rgba_chunks, depth_chunks = [], []
+        for i in range(len(keep_pad) // tc):
+            s = slice(i * tc, (i + 1) * tc)
+            rgba_c, depth_c = eval_fn(
+                params, sel1_j[s], xform, focal, principal, distortion,
+                t_s[s], dt_s[s], v_s[s], bg, operators, envmap,
+            )
+            rgba_chunks.append(rgba_c)
+            depth_chunks.append(depth_c)
+        rgba = rgba.at[sel1_j].set(jnp.concatenate(rgba_chunks)[: len(keep_pad)])
+        depth = depth.at[sel1_j].set(jnp.concatenate(depth_chunks)[: len(keep_pad)])
+
+    rgba = rgba.reshape(Ht, Wt, tile, tile, 4)
+    rgba = rgba.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 4)[:H, :W]
+    depth = depth.reshape(Ht, Wt, tile, tile)
+    depth = depth.transpose(0, 2, 1, 3).reshape(Hp, Wp)[:H, :W]
+    return FrameOutput(rgba, depth)
 
 
 def _make_chunk_fn(model, opts: RenderOptions):

@@ -676,6 +676,12 @@ class Testbed:
             self._network_config = ConfigDict(
                 {k: v for k, v in cfg.items() if k != "snapshot"}
             )
+            # tcnn tables are xor-hash with align-8 level sizes — our exact
+            # tcnn-parity indexing is the "plain" layout
+            if self._network_config.get("encoding", {}).get("otype", "HashGrid") in (
+                "HashGrid", "DenseGrid", "TiledGrid", "Grid",
+            ):
+                self._network_config["encoding"].setdefault("layout", "plain")
             if self._dataset is None and "aabb_scale" in snap.get("nerf", {}):
                 # minimal dataset context so _reset_network sizes the model
                 from nerfshop_tpu.data.nerf_loader import NerfDataset

@@ -88,7 +88,7 @@ def make_distill_step(
 
     def step(state: optim.TrainState, grid, data: nerf_train.DeviceDataset, rng: jax.Array):
         k_rays, k_march = jax.random.split(rng)
-        bundle, _, targets = rays_lib.sample_training_rays(
+        bundle, targets, _ = rays_lib.sample_training_rays(
             k_rays, cfg.n_rays_per_batch, data.images, data.xforms,
             data.focals, data.principals, data.distortions,
         )
