@@ -158,7 +158,10 @@ def export_ingp(
         flat = np.asarray(density_grid, np.float32).reshape(C, -1)
         morton = flat[:, perm]  # row-major → morton per cascade
         snapshot["density_grid_size"] = GRID_SIZE
-        snapshot["density_grid_binary"] = morton.astype(np.float16).tobytes()
+        # clamp before the f16 cast: exp-activated σ can exceed fp16 range
+        snapshot["density_grid_binary"] = (
+            np.clip(morton, -65000.0, 65000.0).astype(np.float16).tobytes()
+        )
     cfg["snapshot"] = snapshot
 
     raw = msgpack.packb(cfg, use_bin_type=True)

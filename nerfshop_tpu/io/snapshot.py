@@ -112,13 +112,17 @@ def save_snapshot(
         from nerfshop_tpu.ops import coords
         import jax.numpy as jnp
 
+        # f32: the occupancy threshold is min(mean, 0.01/Δmin) — an f16 grid
+        # quantizes cells sitting AT the mean across the threshold, so a
+        # snapshot round-trip would flip occupancy bits and perturb renders
+        # (.ingp EXPORT keeps the reference's f16-with-clamp layout)
         grids = [
-            np.asarray(coords.dense_grid_to_morton(jnp.asarray(density_grid[c])), np.float16)
+            np.asarray(coords.dense_grid_to_morton(jnp.asarray(density_grid[c])), np.float32)
             for c in range(density_grid.shape[0])
         ]
         snap["density_grid"] = {
             "n_cascades": density_grid.shape[0],
-            "layout": "morton_f16",
+            "layout": "morton_f32",
             "data": np.stack(grids).tobytes(),
         }
     if metadata is not None:
@@ -152,7 +156,10 @@ def load_snapshot(path: str | Path) -> Dict[str, Any]:
 
         dg = snap["density_grid"]
         C = dg["n_cascades"]
-        flat = np.frombuffer(dg["data"], np.float16).reshape(C, GRID_VOLUME)
+        dtype = np.float32 if dg.get("layout") == "morton_f32" else np.float16
+        flat = np.frombuffer(dg["data"], dtype).reshape(C, GRID_VOLUME)
+        # older f16 snapshots cast unclamped densities → ±inf entries
+        flat = np.nan_to_num(flat.astype(np.float32), posinf=65000.0, neginf=0.0)
         dense = np.stack(
             [np.asarray(coords.morton_to_dense_grid(jnp.asarray(flat[c].astype(np.float32)))) for c in range(C)]
         )

@@ -150,9 +150,19 @@ def update_density_grid(
 
 def update_bitfield(grid: OccupancyGrid) -> OccupancyGrid:
     """Recompute mean density, threshold, and the cascaded bitfield
-    (reference: update_density_grid_mean_and_bitfield testbed_nerf.cu:3642)."""
+    (reference: update_density_grid_mean_and_bitfield testbed_nerf.cu:3642).
+
+    The reference's grid stores OPTICAL THICKNESS σ·Δmin (Δmin = the minimal
+    cone step √3/1024, splat_grid_samples_nerf_max_nearest_neighbor) and
+    thresholds that against min(mean, 0.01). Ours stores activated σ
+    directly, so the 0.01 cutoff converts to σ > 0.01/Δmin ≈ 5.9 —
+    thresholding raw σ at 0.01 instead marks hazy free space occupied
+    (measured: 97% occupancy on a trained fox vs the reference's few %),
+    which defeats empty-space skipping and tile culling entirely."""
+    from nerfshop_tpu.common import MIN_CONE_STEPSIZE
+
     mean = jnp.mean(jnp.maximum(grid.density, 0.0))
-    thresh = jnp.minimum(mean, NERF_MIN_OPTICAL_THICKNESS)
+    thresh = jnp.minimum(mean, NERF_MIN_OPTICAL_THICKNESS / MIN_CONE_STEPSIZE)
     occ = grid.density > thresh
 
     # OR the 2x-max-pooled finer cascade into the center octant of the next

@@ -212,7 +212,7 @@ def _sorted_first(keys: jnp.ndarray, payloads: Tuple[jnp.ndarray, ...], take: in
 
 @partial(
     jax.jit,
-    static_argnames=("k_samples", "n_candidates", "use_grid_early_stop", "selection", "with_aux"),
+    static_argnames=("k_samples", "n_candidates", "use_grid_early_stop", "selection", "with_aux", "n_segments", "global_t0"),
 )
 def march_rays(
     origins: jnp.ndarray,  # [R, 3] world
@@ -234,6 +234,9 @@ def march_rays(
     spread_stride_cap: float = 4.0,
     with_aux: bool = False,
     n_segments: Optional[int] = None,
+    coarse_field: Optional[jnp.ndarray] = None,  # flat override (pre-dilated)
+    fine_field: Optional[jnp.ndarray] = None,  # flat override (pre-dilated)
+    global_t0: bool = False,  # shared ladder origin at t_start_min (tiles)
 ):
     """Two-stage (coarse→fine) occupancy march.
 
@@ -261,15 +264,24 @@ def march_rays(
     S = min(S, M1)
     J = S * Q  # fine candidates examined
 
-    coarse = build_coarse_occupancy(occupancy).reshape(-1)
-    dens_field = masked_density_field(occupancy, density_grid).reshape(-1)
+    coarse = coarse_field if coarse_field is not None else build_coarse_occupancy(occupancy).reshape(-1)
+    if fine_field is not None:
+        dens_field = fine_field
+    else:
+        dens_field = masked_density_field(occupancy, density_grid).reshape(-1)
 
     tmin, tmax = aabb.ray_intersect(origins, directions)
     tmin = jnp.maximum(tmin, t_start_min)
     if t_start is not None:
         tmin = jnp.maximum(tmin, t_start)
     hit = tmin < tmax
-    t0 = jnp.where(hit, tmin, tmax)
+    if global_t0:
+        # tile marches share one ladder origin so slot t-values are valid
+        # for every member ray of the tile (members re-window by their own
+        # [tmin, tmax) at eval time)
+        t0 = jnp.full((R,), t_start_min, jnp.float32)
+    else:
+        t0 = jnp.where(hit, tmin, tmax)
     if t_jitter is not None:
         t0 = t0 + coords.calc_dt(t0, cone_angle) * t_jitter
 
@@ -322,7 +334,7 @@ def march_rays(
     occ_f = dens > 0  # [R, J], in ladder order (segments ascend)
 
     saturated = jnp.zeros((R,), jnp.bool_)
-    if use_grid_early_stop and density_grid is not None:
+    if use_grid_early_stop and (density_grid is not None or fine_field is not None):
         tau = jnp.cumsum(jnp.where(occ_f, dens * dt_f, 0.0), axis=1)
         keep = (tau - dens * dt_f) < grid_stop_tau  # exclusive cumsum test
         saturated = jnp.any(occ_f & ~keep, axis=1)
@@ -406,69 +418,44 @@ def march_tiles(
     n_segments: int = 32,
 ):
     """Shared-march for TILED rendering: ONE two-stage march per 8×8-pixel
-    tile instead of per ray.
+    tile instead of per ray — a thin wrapper over :func:`march_rays` with
 
-    All rays of a tile reuse the tile-center march against *dilated*
-    occupancy fields (dilation ≥ the tile frustum's world footprint), so the
-    returned slot list conservatively covers every member ray's occupied
-    cells. The ladder is GLOBAL (t measured from ``t_start_min``, not the
-    per-ray AABB entry) so slot t-values are valid for every ray; member
-    rays mask slots outside their own [tmin, tmax).
+    * pre-DILATED coarse/fine fields (dilation ≥ the tile frustum's world
+      footprint) so the tile-center march is conservative for every member
+      ray;
+    * a GLOBAL ladder (t from ``t_start_min``, not the per-ray AABB entry)
+      so slot t-values are valid for every member ray;
+    * "spread" slot selection + the grid-density early stop: under a dense
+      (foggy / warm-up) grid the occupied path is far longer than K slots,
+      and first-K would confine every sample to a sliver at the near plane
+      (the empty-fox-render failure mode). Stratified slots with
+      stride-scaled dt keep the full path covered at coarser quadrature,
+      exactly like the training march.
 
-    → (t_slots [T,K], dt_slots [T,K], slot_valid [T,K], n [T]). Slots ascend
-    in t. This is the render fast path: per-RAY gather cost is zero; the
-    per-tile cost is ~(M/Q + S·Q) gathers, amortized over 64 rays.
+    → (t_slots [T,K], dt_slots [T,K], slot_valid [T,K], n [T]), ascending t.
+    Per-RAY gather cost is zero; the per-tile cost is ~(M/Q + S·Q) gathers,
+    amortized over the tile's member rays.
     """
-    Tn = origins.shape[0]
-    Q = COARSE_STRIDE
-    M = -(-n_candidates // Q) * Q
-    M1 = M // Q
-    S = min(n_segments, M1)
-    J = S * Q
-    K = k_slots
-    aabb = BoundingBox(aabb_lo, aabb_hi)
-
-    tmin, tmax = aabb.ray_intersect(origins, directions)
-    tmax = jnp.where(tmin < tmax, tmax, 0.0)
-    t0 = jnp.full((Tn,), t_start_min, jnp.float32)  # GLOBAL ladder origin
-
-    m_end = jnp.arange(M1 + 1, dtype=jnp.int32) * Q
-    T_end_pts, dt_end_pts = step_ladder(t0, m_end, cone_angle)
-    cflat = _candidate_cells(
-        origins, directions, T_end_pts, dt_end_pts, n_cascades, resolution=COARSE_RES
+    occupancy_stub = jnp.zeros((n_cascades, 1, 1, 1), jnp.bool_)
+    batch = march_rays(
+        origins,
+        directions,
+        occupancy_stub,
+        aabb_lo,
+        aabb_hi,
+        cone_angle,
+        t_start_min=t_start_min,
+        k_samples=k_slots,
+        n_candidates=n_candidates,
+        use_grid_early_stop=True,
+        selection="spread",
+        spread_stride_cap=16.0,
+        n_segments=n_segments,
+        coarse_field=coarse_dilated,
+        fine_field=fine_dilated,
+        global_t0=True,
     )
-    cflat = jax.lax.optimization_barrier(cflat)
-    probe = jnp.take(coarse_dilated, cflat, axis=0) > 0
-    seg_inside = T_end_pts[:, :-1] < tmax[:, None]
-    seg_occ = (probe[:, :-1] | probe[:, 1:]) & seg_inside
-
-    seg_ids = jnp.broadcast_to(jnp.arange(M1, dtype=jnp.int32)[None, :], (Tn, M1))
-    seg_keys = jnp.where(seg_occ, seg_ids, seg_ids + M1)
-    (seg_sorted,) = _sorted_first(seg_keys, (), S)
-    seg_valid = seg_sorted < M1
-    seg_m = jnp.where(seg_valid, seg_sorted, seg_sorted - M1)
-
-    m_f = (seg_m[:, :, None] * Q + jnp.arange(Q, dtype=jnp.int32)[None, None, :]).reshape(Tn, J)
-    T_f, dt_f = step_ladder(t0, m_f, cone_angle)
-    inside_f = (T_f < tmax[:, None]) & jnp.repeat(seg_valid, Q, axis=1)
-    fflat = _candidate_cells(origins, directions, T_f, dt_f, n_cascades)
-    fflat = jax.lax.optimization_barrier(fflat)
-    dens = jnp.where(inside_f, jnp.take(fine_dilated, fflat, axis=0), 0.0)
-    occ_f = dens > 0
-
-    nocc = jnp.sum(occ_f.astype(jnp.int32), axis=1)
-    fine_ids = jnp.broadcast_to(jnp.arange(J, dtype=jnp.int32)[None, :], (Tn, J))
-    fine_keys = jnp.where(occ_f, fine_ids, fine_ids + J)
-    _, t_sorted, dt_sorted = _sorted_first(fine_keys, (T_f, dt_f), min(K, J))
-    n = jnp.minimum(nocc, K)
-    if J < K:
-        pad = K - J
-        t_sorted = jnp.pad(t_sorted, ((0, 0), (0, pad)))
-        dt_sorted = jnp.pad(dt_sorted, ((0, 0), (0, pad)))
-    slot_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n[:, None]
-    t_slots = jnp.where(slot_valid, t_sorted[:, :K], 0.0)
-    dt_slots = jnp.where(slot_valid, dt_sorted[:, :K], 0.0)
-    return t_slots, dt_slots, slot_valid, n
+    return batch.t, batch.dt, batch.valid, batch.n
 
 
 def coarse_any_hit(

@@ -815,6 +815,11 @@ class Testbed:
         from nerfshop_tpu.editing import serialization
 
         self._edit_operators = serialization.load_edits(path)
+        if self._edit_operators and self._model is not None and self._grid is not None and self._state is not None:
+            # refresh occupancy through the loaded stack so the march covers
+            # the deformed target regions (reference re-estimates the grid
+            # after operator changes, src/testbed.cu:1266)
+            self.refresh_grid_for_edits()
 
     def _edit_metadata(self) -> dict:
         return {"mode": self.mode.value}

@@ -143,7 +143,12 @@ def nerf_loss_fn(
     # early-training density floor: while the grid is still empty, push
     # negative raw densities up (grad = −1e-4 where raw < 0)
     if mean_grid_density is not None:
-        l1_on = (mean_grid_density < NERF_MIN_OPTICAL_THICKNESS).astype(jnp.float32)
+        # reference gate compares mean OPTICAL THICKNESS (σ·Δmin) vs 0.01
+        from nerfshop_tpu.common import MIN_CONE_STEPSIZE
+
+        l1_on = (
+            mean_grid_density * MIN_CONE_STEPSIZE < NERF_MIN_OPTICAL_THICKNESS
+        ).astype(jnp.float32)
         loss = loss + l1_on * 1e-4 * jnp.sum(jax.nn.relu(-raw_sigma) * valid_f) / R
     # near-distance suppression: samples closer than near_distance along the
     # ray get pushed transparent (grad = +1e-4 on raw σ > −10)

@@ -30,6 +30,7 @@ def parse_args():
     p.add_argument("--scene", default="")
     p.add_argument("--network", default="", help="network config json")
     p.add_argument("--load_snapshot", default="")
+    p.add_argument("--edits", default="", help="edits json (operator stack) to load before rendering")
     p.add_argument("--save_snapshot", default="")
     p.add_argument("--n_steps", type=int, default=-1)
     p.add_argument("--batch_size", type=int, default=1 << 18)
@@ -78,6 +79,11 @@ def main():
             tb.load_training_data(args.scene)
     if args.near_distance >= 0:
         tb.nerf.training.near_distance = args.near_distance
+    if args.edits:
+        # reference: nerfshop --edits <json> (src/main.cu) — the operator
+        # stack applies to every subsequent render/eval/screenshot
+        tb.load_edits(args.edits)
+        print(f"loaded edit stack from {args.edits}")
 
     n_steps = args.n_steps
     if n_steps < 0 and not args.load_snapshot:
