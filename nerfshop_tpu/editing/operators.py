@@ -92,35 +92,35 @@ def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray,
     inb = jnp.all((cell >= 0) & (cell < res), axis=-1)
     cell = jnp.clip(cell, 0, res - 1)
     ci = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
-    cand = lut.cells[ci]  # [N, MT]
+    cand = jnp.take(lut.cells, ci, axis=0)  # [N, MT]
     MT = cand.shape[1]
-    valid = cand >= 0
-    cand_c = jnp.maximum(cand, 0)
 
-    # ALL math on ≤2D arrays: XLA tile-pads >2D arrays with tiny minor dims
-    # (a [N,3,3] rotation gather pads 43× to [N,4,128] — 34 GB at grid-
-    # refresh batch sizes). One wide 2D row-gather + column arithmetic
-    # instead of per-candidate [N,MT,3,3] einsums.
+    # Per-CANDIDATE loop with a running best, everything on [N]-shaped 1D /
+    # narrow-2D arrays. Earlier formulations materialized [N, MT, 3·3] or
+    # [N·MT, 12] intermediates; XLA tile-pads those 10-43× (measured 8 GB
+    # allocations at grid-refresh batch × fanout sizes). MT small unrolled
+    # gathers of [N, 12] rows keep every live tensor ≤ ~64 MB.
     table = jnp.concatenate([v0, inv_e.reshape(-1, 9)], axis=1)  # [Nt, 12]
-    rows = jnp.take(table, cand_c.reshape(-1), axis=0)  # [N·MT, 12]
-    pr = jnp.broadcast_to(p[:, None, :], (N, MT, 3)).reshape(N * MT, 3)
-    d = pr - rows[:, 0:3]
-    # inv_e is the inverse of the column-edge matrix, so bary(1:) = inv_e @ d
-    b1 = jnp.sum(rows[:, 3:6] * d, axis=1).reshape(N, MT)
-    b2 = jnp.sum(rows[:, 6:9] * d, axis=1).reshape(N, MT)
-    b3 = jnp.sum(rows[:, 9:12] * d, axis=1).reshape(N, MT)
-    b0 = 1.0 - b1 - b2 - b3
-    # per-candidate containment score: most-negative barycentric component
-    score = jnp.minimum(jnp.minimum(b0, b1), jnp.minimum(b2, b3))  # [N, MT]
-    score = jnp.where(valid & inb[:, None], score, -jnp.inf)
-    best = jnp.argmax(score, axis=-1)
-    riota = jnp.arange(N)
-    best_score = score[riota, best]
+    best_score = jnp.full((N,), -jnp.inf)
+    best_tet = jnp.zeros((N,), jnp.int32)
+    for c in range(MT):
+        tid = cand[:, c]
+        rows = jnp.take(table, jnp.maximum(tid, 0), axis=0)  # [N, 12]
+        db = p - rows[:, 0:3]
+        w1 = jnp.sum(rows[:, 3:6] * db, axis=1)
+        w2 = jnp.sum(rows[:, 6:9] * db, axis=1)
+        w3 = jnp.sum(rows[:, 9:12] * db, axis=1)
+        w0 = 1.0 - w1 - w2 - w3
+        score = jnp.minimum(jnp.minimum(w0, w1), jnp.minimum(w2, w3))
+        score = jnp.where((tid >= 0) & inb, score, -jnp.inf)
+        take_it = score > best_score
+        best_score = jnp.where(take_it, score, best_score)
+        best_tet = jnp.where(take_it, jnp.maximum(tid, 0), best_tet)
+
     threshold = eps if eps > 0 else -near_miss
     found = best_score >= threshold
-    tet = cand_c[riota, best]
-    # recompute the winner's barycentrics from one [N,12] row-gather (2D)
-    # instead of selecting out of a [N,MT,4] tensor
+    tet = best_tet
+    # recompute the winner's barycentrics from one [N,12] row-gather
     brow = jnp.take(table, tet, axis=0)
     db = p - brow[:, 0:3]
     w1 = jnp.sum(brow[:, 3:6] * db, axis=1)

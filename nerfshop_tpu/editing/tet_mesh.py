@@ -197,35 +197,59 @@ class TetMesh:
     # --------------------------------------------------------------- LUT build
 
     def _voxelize(self, verts: np.ndarray, res: int, max_t: int):
-        """Conservative voxelization (tet bbox overlap) into a local grid.
-        Uses the native C++ threaded kernel when available (the reference
-        voxelizes with 32 std::async tasks, tet_mesh.cu:266-339); falls back
-        to the pure-numpy loop."""
+        """Conservative voxelization into a local grid: tet-bbox overlap
+        REFINED by the tet's four face planes (a cell entirely outside any
+        outward face plane, beyond the 1-cell near-miss margin, cannot
+        contain or nearly-contain a point of the tet).
+
+        The plane refinement matters a lot: bbox-only voxelization gives
+        per-cell fanouts of 100+ for typical cages (every cell under a long
+        sliver tet's bbox lists it), which blew both the device warp's
+        candidate loop and its memory. Face-plane filtering brings fanout to
+        the actual local tet overlap (~10-30) — the same count the
+        reference's exact per-cell rasterizer reaches (tet_mesh.cu:369)."""
         tv = verts[self.tets]  # [Nt, 4, 3]
         lo = tv.min((0, 1)) - 1e-4
         hi = tv.max((0, 1)) + 1e-4
         inv_cell = res / np.maximum(hi - lo, 1e-9)
+        cell_size = 1.0 / inv_cell
 
-        from nerfshop_tpu import native
-
-        out = native.voxelize_tets(verts, self.tets, res, lo, inv_cell, max_t)
-        if out is not None:
-            cells, max_seen = out
-            return lo.astype(np.float32), inv_cell.astype(np.float32), cells, max_seen
+        # outward face normals: face f is opposite vertex f
+        faces = np.array([[1, 2, 3], [0, 3, 2], [0, 1, 3], [0, 2, 1]])
+        a = tv[:, faces[:, 0]]  # [Nt, 4, 3]
+        n = np.cross(tv[:, faces[:, 1]] - a, tv[:, faces[:, 2]] - a)  # [Nt,4,3]
+        opp = tv[:, [0, 1, 2, 3]]
+        flip = np.einsum("nfd,nfd->nf", n, opp - a) > 0  # orient outward
+        n = np.where(flip[..., None], -n, n)
+        d = np.einsum("nfd,nfd->nf", n, a)  # plane: x·n ≤ d inside
 
         cell_lists: list = [[] for _ in range(res**3)]
         # 1-cell padding so neighbors keep the tet as a near-miss candidate
         t_lo = np.clip(((tv.min(1) - lo) * inv_cell).astype(int) - 1, 0, res - 1)
         t_hi = np.clip(((tv.max(1) - lo) * inv_cell).astype(int) + 1, 0, res - 1)
+        half = cell_size * 0.5
+        margin = np.linalg.norm(cell_size)  # near-miss slack (~1 cell)
         for ti in range(len(self.tets)):
             x0, y0, z0 = t_lo[ti]
             x1, y1, z1 = t_hi[ti]
-            for x in range(x0, x1 + 1):
-                base_x = x * res * res
-                for y in range(y0, y1 + 1):
-                    base = base_x + y * res
-                    for z in range(z0, z1 + 1):
-                        cell_lists[base + z].append(ti)
+            xs = (np.arange(x0, x1 + 1) + 0.5) * cell_size[0] + lo[0]
+            ys = (np.arange(y0, y1 + 1) + 0.5) * cell_size[1] + lo[1]
+            zs = (np.arange(z0, z1 + 1) + 0.5) * cell_size[2] + lo[2]
+            cx, cy, cz = np.meshgrid(xs, ys, zs, indexing="ij")
+            centers = np.stack([cx, cy, cz], -1).reshape(-1, 3)
+            nt, dt_ = n[ti], d[ti]  # [4,3], [4]
+            proj = centers @ nt.T  # [C, 4]
+            slack = np.abs(nt) @ half + margin * np.linalg.norm(nt, axis=1)
+            keep = np.all(proj - slack[None] <= dt_[None], axis=1)
+            idx = np.stack(
+                np.meshgrid(
+                    np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), np.arange(z0, z1 + 1),
+                    indexing="ij",
+                ),
+                -1,
+            ).reshape(-1, 3)[keep]
+            for x, y, z in idx:
+                cell_lists[(x * res + y) * res + z].append(ti)
 
         max_seen = max((len(c) for c in cell_lists), default=0)
         mt = min(max(max_seen, 1), max_t)

@@ -138,7 +138,8 @@ def update_density_grid(
         (0, 0, 0, z_lo),
         (n_cascades_active, R, R, z_size),
     )
-    new_slab = jnp.maximum(old_slab * DENSITY_GRID_DECAY, fresh)
+    # fresh < 0 is the operator-kill sentinel (make_density_fn): clear hard
+    new_slab = jnp.where(fresh < 0, 0.0, jnp.maximum(old_slab * DENSITY_GRID_DECAY, fresh))
     # EVERY cell decays each update (ema_grid_samples_nerf runs over the
     # whole grid, testbed_nerf.cu:483) — this is what eventually clears
     # stale occupancy; the refreshed slab additionally takes its fresh max
@@ -207,14 +208,18 @@ def mark_untrained_cells(
     cells = jnp.stack([ix, iy, iz], -1).reshape(-1, 3)
     mips = jnp.repeat(jnp.arange(C, dtype=jnp.int32)[:, None], R**3, 1).reshape(-1)
     centers = cell_world_positions(jnp.tile(cells, (C, 1)), mips, jnp.full((C * R**3, 3), 0.5))
+    # a cell is "seen" if ANY part of it projects inside some image — test
+    # the center against the frustum expanded by the cell's bounding radius
+    # (center-only culling clips content at frustum edges)
+    radius = jnp.exp2(mips.astype(jnp.float32)) * (jnp.sqrt(3.0) / (2 * R))
 
     def seen_by_cam(cam_p, cam_f, f, res):
         v = centers - cam_p  # [N,3]
         z = jnp.einsum("nd,d->n", v, cam_f)
-        # in front of camera and within FOV (conservative: use max half-angle)
+        # within FOV (conservative: max half-angle) + cell bounding sphere
         half_tan = jnp.maximum(res[0] / (2 * f[0]), res[1] / (2 * f[1]))
         lateral = jnp.linalg.norm(v - z[:, None] * cam_f, axis=-1)
-        return (z > 0) & (lateral <= z * half_tan * 1.2)
+        return (z > -radius) & (lateral <= z * half_tan * 1.2 + radius)
 
     seen = jax.vmap(seen_by_cam)(cam_positions, cam_forward, focal, resolution)
     return seen.any(axis=0).reshape(C, R, R, R)

@@ -445,7 +445,38 @@ class Testbed:
             nerf_train.make_train_step(self._model, self._spec, self._train_cfg),
             donate_argnums=(0,),
         )
-        self._grid_update_fn = nerf_train.make_grid_update(self._model, self._train_cfg)
+        mask = None
+        ds = self._dataset
+        usable = (
+            ds is not None
+            and getattr(ds, "xforms", None) is not None
+            and len(ds.xforms) > 1
+            and len(getattr(ds, "intrinsics", ())) == len(ds.xforms)
+            and self._grid is not None
+        )
+        if usable and np.abs(np.asarray(ds.distortion_matrix())).max() > 1e-8:
+            # distorted rays bend outside the pinhole frustum this test
+            # assumes — measured −7 dB on a k1 scene
+            usable = False
+        if usable:
+            # cells outside every training camera's frustum stay unoccupied
+            # (mark_untrained_density_grid, testbed_nerf.cu:353)
+            import jax.numpy as jnp
+
+            from nerfshop_tpu.ops import grid as grid_lib
+
+            xf = np.asarray(ds.xforms)
+            res_hw = np.asarray([[im.shape[1], im.shape[0]] for im in ds.images], np.float32)
+            mask = grid_lib.mark_untrained_cells(
+                self._grid,
+                jnp.asarray(xf[:, :, 3]),
+                jnp.asarray(xf[:, :, 2]),  # camera looks down +z
+                jnp.asarray(ds.focal_matrix()),
+                jnp.asarray(res_hw),
+            )
+        self._grid_update_fn = nerf_train.make_grid_update(
+            self._model, self._train_cfg, trained_mask=mask
+        )
 
     def frame(self) -> bool:
         """One headless 'frame': train if enabled (reference frame loop)."""

@@ -54,6 +54,13 @@ class DistillConfig:
     #: the student from compounding teacher error)
     gt_loss_weight: float = 1.0
     min_transmittance: float = 1e-4
+    #: uniform (march-independent) field samples per step: the marched
+    #: samples only cover the EDITED grid's occupied cells, but the student
+    #: renders with a grid refreshed from its OWN field — any unsupervised
+    #: region (warm-start: the un-moved source object; cold-start: init fog)
+    #: re-occupies that grid and renders as ghosts/haze. Uniform samples pin
+    #: the whole volume to the teacher.
+    n_free_samples: int = 16384
 
 
 def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.ndarray, dir_world: jnp.ndarray, aabb):
@@ -85,9 +92,10 @@ def make_distill_step(
     ``grid`` should be the EDITED OccupancyGrid (refreshed through the
     operator stack) so rays sample where the edited scene has content."""
     aabb = coords.BoundingBox.from_aabb_scale(cfg.aabb_scale)
+    operators = tuple(operators)
 
-    def step(state: optim.TrainState, grid, data: nerf_train.DeviceDataset, rng: jax.Array):
-        k_rays, k_march = jax.random.split(rng)
+    def step_inner(state: optim.TrainState, grid, data: nerf_train.DeviceDataset, rng: jax.Array, t_params, ops):
+        k_rays, k_march, k_free = jax.random.split(rng, 3)
         bundle, targets, _ = rays_lib.sample_training_rays(
             k_rays, cfg.n_rays_per_batch, data.images, data.xforms,
             data.focals, data.principals, data.distortions,
@@ -102,7 +110,7 @@ def make_distill_step(
         pos_world = (bundle.origins[:, None, :] + samples.t[..., None] * bundle.directions[:, None, :]).reshape(-1, 3)
         dir_world = jnp.broadcast_to(bundle.directions[:, None, :], (R, K, 3)).reshape(-1, 3)
 
-        t_rgb, t_sigma, touched = teacher_field(model, teacher_params, operators, pos_world, dir_world, aabb)
+        t_rgb, t_sigma, touched = teacher_field(model, t_params, ops, pos_world, dir_world, aabb)
         t_rgb = jax.lax.stop_gradient(t_rgb)
         t_sigma = jax.lax.stop_gradient(t_sigma)
         # rays whose samples are all untouched by the edit stack still match
@@ -114,6 +122,16 @@ def make_distill_step(
         dir_w = coords.warp_direction(dir_world)
         vmask = samples.valid.reshape(-1)
 
+        # free-space pinning samples (uniform over the aabb)
+        nf = cfg.n_free_samples
+        pos_free = jax.random.uniform(k_free, (nf, 3), minval=aabb.min, maxval=aabb.max)
+        dir_free = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (nf, 1))
+        f_rgb, f_sigma, _ = teacher_field(model, t_params, ops, pos_free, dir_free, aabb)
+        f_rgb = jax.lax.stop_gradient(f_rgb)
+        f_sigma = jax.lax.stop_gradient(f_sigma)
+        pw_free = jnp.clip(coords.warp_position(pos_free, aabb), 0.0, 1.0)
+        dw_free = coords.warp_direction(dir_free)
+
         def loss_of(params):
             s_rgb, s_sigma = model(params, pos_w, dir_w)
             # field matching in log-density space (exp activation → match
@@ -122,6 +140,20 @@ def make_distill_step(
             field = jnp.mean(jnp.where(vmask, jnp.square(d_sig), 0.0)) + jnp.mean(
                 jnp.where(vmask[:, None], jnp.square(s_rgb - t_rgb), 0.0)
             )
+            # explicit suppression wherever the TEACHER says empty — the
+            # vacated source (reference distill forces α=0 on emptying
+            # samples, testbed_nerf.cu:2058-2082) AND plain free space: the
+            # quadratic log-term's gradient vanishes as σ_s → σ_t ≈ 0, so
+            # residual fog (the visible error mode of a distilled field)
+            # cleans up an order of magnitude faster with a linear term
+            empty_here = vmask & (t_sigma <= 1e-3)
+            field = field + 4.0 * jnp.mean(jnp.where(empty_here, jnp.log1p(s_sigma), 0.0))
+            if nf > 0:
+                sf_rgb, sf_sigma = model(params, pw_free, dw_free)
+                df = jnp.log1p(sf_sigma) - jnp.log1p(f_sigma)
+                field = field + jnp.mean(jnp.square(df)) + jnp.mean(
+                    jnp.square(sf_rgb - f_rgb)
+                ) + 4.0 * jnp.mean(jnp.where(f_sigma <= 1e-3, jnp.log1p(sf_sigma), 0.0))
             # pixel composite matching
             s_res = comp.composite(
                 s_sigma.reshape(R, K), s_rgb.reshape(R, K, 3),
@@ -149,6 +181,16 @@ def make_distill_step(
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         return optim.apply_gradients(state, grads, spec), aux
 
+    step_inner_jit = jax.jit(step_inner, donate_argnums=(0,))
+
+    def step(state, grid, data, rng):
+        # teacher params + operator LUTs enter as TRACED arguments; closing
+        # over them bakes 100+ MB of constants into the program (compile
+        # requests overflow and the literals double-count in HBM). The jit
+        # boundary is INNER — callers must not re-wrap step in jax.jit or
+        # the closure constants come back.
+        return step_inner_jit(state, grid, data, rng, teacher_params, operators)
+
     return step
 
 
@@ -162,14 +204,25 @@ def distill(
     n_steps: int = 2000,
     cfg: DistillConfig = DistillConfig(),
     optimizer_cfg: dict = None,
+    warm_start: bool = True,
 ) -> optim.TrainState:
-    """Convenience driver: fresh student → trained student state."""
+    """Convenience driver → trained student state.
+
+    ``warm_start`` (default) initializes the student FROM the teacher: the
+    field already matches everywhere the edit doesn't touch, so training
+    only has to learn the edit delta. A fresh student (the reference resets
+    the network, src/testbed.cu:1272) must also re-learn the entire scene
+    AND unlearn its own init fog in under-sampled cells — measured ~16 dB
+    vs edited render at 500 steps, vs >20 dB warm-started."""
     spec = optim.build_optimizer(
         optimizer_cfg or {"otype": "Adam", "learning_rate": 1e-2, "beta1": 0.9, "beta2": 0.99, "epsilon": 1e-15}
     )
     rng, k = jax.random.split(rng)
-    state = optim.create_train_state(model.init(k), spec)
-    step = jax.jit(make_distill_step(model, teacher_params, operators, spec, cfg), donate_argnums=(0,))
+    init = (
+        jax.tree.map(jnp.copy, teacher_params) if warm_start else model.init(k)
+    )
+    state = optim.create_train_state(init, spec)
+    step = make_distill_step(model, teacher_params, operators, spec, cfg)
     for _ in range(n_steps):
         rng, k = jax.random.split(rng)
         state, aux = step(state, grid_edited, data, k)

@@ -328,24 +328,56 @@ def make_density_fn(model: NerfNetwork, params, aabb: coords.BoundingBox, operat
         pos_w = jnp.clip(coords.warp_position(pos_world, aabb), 0.0, 1.0)
         sigma = model.density(params, pos_w)
         if kill is not None:
-            sigma = jnp.where(kill, 0.0, sigma)
+            # −1 sentinel: vacated cells HARD-clear in the grid update
+            # instead of EMA-lingering for ~45 refreshes (the reference's
+            # clear_empty_space kernel is a commented-out no-op and its
+            # vacated cells stay occupied, testbed_nerf.cu:2767 — ours
+            # actually empties, so post-edit renders and distilled students
+            # never march the vacated source)
+            sigma = jnp.where(kill, -1.0, sigma)
         return sigma
 
     return fn
 
 
-def make_grid_update(model: NerfNetwork, cfg: NerfTrainConfig, n_samples_per_cascade: int = GRID_RESOLUTION**3 // 4, operators: tuple = ()):
+def make_grid_update(
+    model: NerfNetwork,
+    cfg: NerfTrainConfig,
+    n_samples_per_cascade: int = GRID_RESOLUTION**3 // 4,
+    operators: tuple = (),
+    trained_mask=None,
+):
     """jittable (grid, params, rng, full_refresh[static]) → grid.
     Mirrors training_prep_nerf (testbed_nerf.cu:4460): density refresh + EMA
-    + bitfield rebuild every 16 steps; full refresh during warm-up."""
+    + bitfield rebuild every 16 steps; full refresh during warm-up.
+    ``trained_mask`` [C,R,R,R] bool (grid_lib.mark_untrained_cells): cells
+    outside every training camera's frustum never become occupied
+    (mark_untrained_density_grid, testbed_nerf.cu:353)."""
     aabb = coords.BoundingBox.from_aabb_scale(cfg.aabb_scale)
+    operators = tuple(operators)
 
-    @partial(jax.jit, static_argnames=("full_refresh",), donate_argnums=(0,))
-    def update(grid: grid_lib.OccupancyGrid, params, rng, full_refresh: bool):
-        fn = make_density_fn(model, params, aabb, operators)
+    @partial(jax.jit, static_argnames=("full_refresh", "has_mask"), donate_argnums=(0,))
+    def update_inner(grid: grid_lib.OccupancyGrid, params, rng, ops, mask, full_refresh: bool, has_mask: bool):
+        fn = make_density_fn(model, params, aabb, ops)
         grid = grid_lib.update_density_grid(
             grid, fn, rng, cfg.n_cascades, n_samples_per_cascade, full_refresh
         )
+        if has_mask:
+            # −1 density like the reference (testbed_nerf.cu:353): occupancy
+            # then derives purely from density, so snapshots round-trip
+            grid = grid._replace(density=jnp.where(mask, grid.density, -1.0))
         return grid_lib.update_bitfield(grid)
+
+    dummy = jnp.zeros((), jnp.bool_)
+
+    def update(grid, params, rng, full_refresh: bool):
+        # operators/mask enter as TRACED arguments — closed-over device
+        # arrays would be baked into the program as constant literals (a
+        # 128 MB tet LUT blows both compile-request size and HBM globals)
+        return update_inner(
+            grid, params, rng, operators,
+            trained_mask if trained_mask is not None else dummy,
+            full_refresh, trained_mask is not None,
+        )
 
     return update

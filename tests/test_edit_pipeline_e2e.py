@@ -62,13 +62,12 @@ def _render(model, state, grid, cfg, focal, principal, operators=(), eye_offset=
     grid_copy = jax.tree.map(lambda a: a.copy(), grid)
     grid = update(grid_copy, state.inference_params, jax.random.PRNGKey(7), full_refresh=True)
     xf = look_at(CENTER + np.asarray(eye_offset, np.float32))
-    # FULL-path sample budget (128 x 8 = 1024 slots = the whole AABB at the
-    # fine step): the 150-step fixture's field still has free-space fog, so
-    # the occupancy grid is near-dense and a small first-K budget truncates
-    # rays long before the sphere - the renders were empty and every
+    # FULL-path sample budget (128 x 4 = 512 slots >= the occupied path at
+    # the fine step under the post-refresh grid): a small first-K budget
+    # truncates rays before the sphere - the renders were empty and every
     # centroid/identity gate passed vacuously (round-1 Weak #3).
     opts = renderer.RenderOptions(
-        k_samples=128, n_windows=8, aabb_scale=1, min_transmittance=1e-4,
+        k_samples=128, n_windows=4, aabb_scale=1, min_transmittance=1e-4,
         mode=renderer.RenderMode.Shade, use_grid_early_stop=False, chunk=RES * RES,
     )
     out = renderer.render_frame(
