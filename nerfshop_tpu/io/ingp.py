@@ -135,6 +135,27 @@ def export_ingp(
     import msgpack
 
     cfg = json.loads(json.dumps(dict(network_config)))  # deep, json-clean
+
+    # Record the grid-encoding table layout in the exported config. The
+    # "brick" (additive-hash, 128-aligned) and "paired" layouts index the
+    # table differently from tcnn's xor-hash/align-8 scheme, so a reader
+    # must know which scheme wrote the blob: without this marker our own
+    # loader (Testbed.load_snapshot) assumes 'plain' for unmarked files —
+    # correct for genuine tcnn snapshots, silently corrupting for ours.
+    layout = getattr(getattr(model, "pos_encoding", None), "layout", None)
+    if layout is not None and isinstance(cfg.get("encoding"), dict):
+        cfg["encoding"]["layout"] = layout
+        if layout != "plain":
+            import warnings
+
+            warnings.warn(
+                f".ingp export uses table layout {layout!r}: readable by "
+                "nerfshop_tpu (layout recorded in the config) but NOT by "
+                "CUDA Instant-NGP/NeRFshop readers, which assume tcnn "
+                "xor-hash indexing. Re-train or re-bake with "
+                "encoding.layout='plain' for cross-ecosystem interop.",
+                stacklevel=2,
+            )
     blob = pack_params(model, params)
     snapshot = {
         "version": SNAPSHOT_FORMAT_VERSION,

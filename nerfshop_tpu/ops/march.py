@@ -212,7 +212,7 @@ def _sorted_first(keys: jnp.ndarray, payloads: Tuple[jnp.ndarray, ...], take: in
 
 @partial(
     jax.jit,
-    static_argnames=("k_samples", "n_candidates", "use_grid_early_stop", "selection", "with_aux", "n_segments", "global_t0"),
+    static_argnames=("k_samples", "n_candidates", "use_grid_early_stop", "selection", "with_aux", "n_segments", "global_t0", "intersect_margin"),
 )
 def march_rays(
     origins: jnp.ndarray,  # [R, 3] world
@@ -236,7 +236,14 @@ def march_rays(
     n_segments: Optional[int] = None,
     coarse_field: Optional[jnp.ndarray] = None,  # flat override (pre-dilated)
     fine_field: Optional[jnp.ndarray] = None,  # flat override (pre-dilated)
+    tau_field: Optional[jnp.ndarray] = None,  # flat UNdilated density for the
+    # transmittance proxy (when fine_field is a dilated override, its values
+    # overestimate optical depth for rays that graze dense regions without
+    # entering them — the early stop would truncate far content)
     global_t0: bool = False,  # shared ladder origin at t_start_min (tiles)
+    intersect_margin: float = 0.0,  # expand the AABB intersect window (world
+    # units) — tile-center marches use the tile frustum's footprint so
+    # member rays at AABB-silhouette tiles aren't culled by a center miss
 ):
     """Two-stage (coarse→fine) occupancy march.
 
@@ -270,7 +277,11 @@ def march_rays(
     else:
         dens_field = masked_density_field(occupancy, density_grid).reshape(-1)
 
-    tmin, tmax = aabb.ray_intersect(origins, directions)
+    if intersect_margin:
+        ibox = BoundingBox(aabb_lo - intersect_margin, aabb_hi + intersect_margin)
+        tmin, tmax = ibox.ray_intersect(origins, directions)
+    else:
+        tmin, tmax = aabb.ray_intersect(origins, directions)
     tmin = jnp.maximum(tmin, t_start_min)
     if t_start is not None:
         tmin = jnp.maximum(tmin, t_start)
@@ -335,8 +346,15 @@ def march_rays(
 
     saturated = jnp.zeros((R,), jnp.bool_)
     if use_grid_early_stop and (density_grid is not None or fine_field is not None):
-        tau = jnp.cumsum(jnp.where(occ_f, dens * dt_f, 0.0), axis=1)
-        keep = (tau - dens * dt_f) < grid_stop_tau  # exclusive cumsum test
+        if tau_field is not None:
+            # undilated density for the optical-depth proxy: a dilated
+            # fine_field overestimates tau for rays that graze dense
+            # regions, truncating far content at the silhouette
+            tau_dens = jnp.where(inside_f, jnp.take(tau_field, fflat, axis=0), 0.0)
+        else:
+            tau_dens = dens
+        tau = jnp.cumsum(jnp.where(occ_f, tau_dens * dt_f, 0.0), axis=1)
+        keep = (tau - tau_dens * dt_f) < grid_stop_tau  # exclusive cumsum test
         saturated = jnp.any(occ_f & ~keep, axis=1)
         occ_f &= keep
 
@@ -416,6 +434,10 @@ def march_tiles(
     k_slots: int = 96,
     n_candidates: int = 1024,
     n_segments: int = 32,
+    fine_undilated: Optional[jnp.ndarray] = None,  # flat masked density for
+    # the early-stop tau proxy (see march_rays tau_field)
+    dilation_cells: int = 2,  # fine-cell dilation radius baked into the
+    # fields; sizes the AABB intersect margin for silhouette tiles
 ):
     """Shared-march for TILED rendering: ONE two-stage march per 8×8-pixel
     tile instead of per ray — a thin wrapper over :func:`march_rays` with
@@ -437,6 +459,9 @@ def march_tiles(
     amortized over the tile's member rays.
     """
     occupancy_stub = jnp.zeros((n_cascades, 1, 1, 1), jnp.bool_)
+    # widest cascade's cell size × dilation radius: member rays of a
+    # silhouette tile can hit cells the dilation reaches outside the AABB
+    cell = float(2 ** (n_cascades - 1)) / GRID_RESOLUTION
     batch = march_rays(
         origins,
         directions,
@@ -453,7 +478,9 @@ def march_tiles(
         n_segments=n_segments,
         coarse_field=coarse_dilated,
         fine_field=fine_dilated,
+        tau_field=fine_undilated,
         global_t0=True,
+        intersect_margin=dilation_cells * cell,
     )
     return batch.t, batch.dt, batch.valid, batch.n
 
@@ -468,6 +495,7 @@ def coarse_any_hit(
     n_cascades: int,
     t_start_min: float = 0.0,
     n_candidates: int = 1024,
+    intersect_margin: float = 0.0,
 ) -> jnp.ndarray:
     """Cheap tile-cull predicate: does the ray's ladder touch ANY occupied
     coarse cell? Probes only the 16³-per-cascade dilated chain (20 KB —
@@ -478,7 +506,7 @@ def coarse_any_hit(
     Tn = origins.shape[0]
     Q = COARSE_STRIDE
     M1 = (-(-n_candidates // Q) * Q) // Q
-    aabb = BoundingBox(aabb_lo, aabb_hi)
+    aabb = BoundingBox(aabb_lo - intersect_margin, aabb_hi + intersect_margin)
     tmin, tmax = aabb.ray_intersect(origins, directions)
     t0 = jnp.full((Tn,), t_start_min, jnp.float32)
     m_end = jnp.arange(M1 + 1, dtype=jnp.int32) * Q

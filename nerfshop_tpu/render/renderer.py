@@ -291,6 +291,7 @@ def _march_tile_chunk(
     c_origins: jnp.ndarray,  # [Tc, 3]
     c_directions: jnp.ndarray,  # [Tc, 3]
     opts: RenderOptions,
+    fine_undil: Optional[jnp.ndarray] = None,
 ):
     """March phase of the tiled renderer: one shared two-stage march per
     tile → (t, dt, valid [Tc,K], n [Tc]). ~27× cheaper than the eval phase,
@@ -305,6 +306,7 @@ def _march_tile_chunk(
         n_cascades=n_cascades, t_start_min=NEAR_DISTANCE_RENDER,
         k_slots=K_total, n_candidates=opts.n_candidates,
         n_segments=max(32, K_total // 2),
+        fine_undilated=fine_undil,
     )
 
 
@@ -397,8 +399,11 @@ def _make_tiled_fields_fn():
     @jax.jit
     def fields(occupancy, density):
         coarse5 = march.build_coarse_occupancy(occupancy, dilation=2).reshape(-1)
-        fine = march.dilate_field(march.masked_density_field(occupancy, density), 2).reshape(-1)
-        return coarse5, fine
+        masked = march.masked_density_field(occupancy, density)
+        fine = march.dilate_field(masked, 2).reshape(-1)
+        # undilated copy feeds the early-stop tau proxy (dilated values
+        # overestimate optical depth for silhouette-grazing rays)
+        return coarse5, fine, masked.reshape(-1)
 
     return fields
 
@@ -454,17 +459,25 @@ def render_frame_tiled(
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
     K_total = opts.k_samples * max(1, opts.n_windows)
 
-    # --- phase 0: derived march fields, cached per grid revision
+    # --- phase 0: derived march fields, cached per grid. Entries hold
+    # strong refs to the source arrays and hits verify identity (`is`):
+    # id() alone can alias a new grid whose buffers reused a freed id.
     global _TILED_FIELDS_FN
     if _TILED_FIELDS_FN is None:
         _TILED_FIELDS_FN = _make_tiled_fields_fn()
     fkey = (id(grid.occupancy), id(grid.density))
     hit = _TILED_FIELDS_CACHE.get(fkey)
+    if hit is not None and (hit[0] is not grid.occupancy or hit[1] is not grid.density):
+        hit = None
     if hit is None:
-        hit = _TILED_FIELDS_CACHE[fkey] = _TILED_FIELDS_FN(grid.occupancy, grid.density)
+        hit = _TILED_FIELDS_CACHE[fkey] = (
+            grid.occupancy,
+            grid.density,
+            _TILED_FIELDS_FN(grid.occupancy, grid.density),
+        )
         if len(_TILED_FIELDS_CACHE) > 4:
             _TILED_FIELDS_CACHE.pop(next(iter(_TILED_FIELDS_CACHE)))
-    coarse5, fine_dil = hit
+    coarse5, fine_dil, fine_undil = hit[2]
 
     # --- phase 1: coarse cull over ALL tile centers (mini-frame rays)
     rkey = ("tiled-centers", Wt, Ht, distortion is not None)
@@ -482,10 +495,11 @@ def render_frame_tiled(
     cull_fn = _CULL_FN_CACHE.get(ckey_cull)
     if cull_fn is None:
         def _cull(co, cd, coarse5):
+            cell = float(2 ** (n_casc - 1)) / 128.0
             return march.coarse_any_hit(
                 co, cd, coarse5, aabb.min, aabb.max, jnp.asarray(opts.cone_angle),
                 n_cascades=n_casc, t_start_min=NEAR_DISTANCE_RENDER,
-                n_candidates=opts.n_candidates,
+                n_candidates=opts.n_candidates, intersect_margin=2 * cell,
             )
 
         cull_fn = jax.jit(_cull)
@@ -495,7 +509,10 @@ def render_frame_tiled(
         # envmap background varies per pixel — don't cull those tiles
         occ_mask = np.ones_like(occ_mask)
 
-    sky_rgba = jnp.concatenate([bg[:3] * bg[3], bg[3:4]])
+    # same formula the eval path applies to a fully-transparent ray
+    # (rgb = bg.rgb, alpha = bg.a — non-premultiplied), so culled and
+    # evaluated sky tiles agree for any background alpha
+    sky_rgba = jnp.concatenate([bg[:3], bg[3:4]])
     rgba = jnp.broadcast_to(sky_rgba, (n_tiles, P, 4))
     depth = jnp.zeros((n_tiles, P))
     sel0 = np.nonzero(occ_mask)[0]
@@ -506,8 +523,10 @@ def render_frame_tiled(
         mkey = (opts, tc, n_casc, "tile-march")
         march_fn = _CHUNK_FN_CACHE.get(mkey)
         if march_fn is None:
-            def _mfn(coarse5, fine_dil, c_o, c_d):
-                return _march_tile_chunk(coarse5, fine_dil, n_casc, c_o, c_d, opts)
+            def _mfn(coarse5, fine_dil, fine_undil, c_o, c_d):
+                return _march_tile_chunk(
+                    coarse5, fine_dil, n_casc, c_o, c_d, opts, fine_undil
+                )
 
             march_fn = jax.jit(_mfn)
             _CHUNK_FN_CACHE[mkey] = march_fn
@@ -516,7 +535,10 @@ def render_frame_tiled(
         sel0_j = jnp.asarray(sel0_pad)
         co_s, cd_s = jnp.take(co, sel0_j, axis=0), jnp.take(cd, sel0_j, axis=0)
         parts = [
-            march_fn(coarse5, fine_dil, co_s[i * tc : (i + 1) * tc], cd_s[i * tc : (i + 1) * tc])
+            march_fn(
+                coarse5, fine_dil, fine_undil,
+                co_s[i * tc : (i + 1) * tc], cd_s[i * tc : (i + 1) * tc],
+            )
             for i in range(len(sel0_pad) // tc)
         ]
         t_all = jnp.concatenate([p[0] for p in parts])
