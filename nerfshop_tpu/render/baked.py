@@ -1,0 +1,449 @@
+"""Baked dense-grid interactive renderer — the TPU-native fast frame path.
+
+The reference reaches interactivity with per-sample CUDA network eval plus
+DLSS upscaling and dynamic resolution (src/testbed.cu:1809-1827,
+src/dlss.cu).  On a TPU the exact per-sample path is bound by random
+hash-table gathers (~2.5e8 rows/s on v5e ⇒ ~1.5e7 field samples/s), which
+caps any NGP-style sample-loop renderer far below interactive 1080p.  The
+interactive path is therefore redesigned around dense ops only:
+
+1. **Bake** (``bake_volume``): evaluate the (optionally edited) field once
+   on a B³ voxel grid — σ and view-baked rgb, edits applied through the
+   operator stack exactly like the per-sample renderer (map_samples /
+   empty-mask / membrane residuals), so edited scenes bake-and-render at
+   full interactive rate (the BASELINE ">15 fps 1080p edited-scene"
+   target).  ~0.3-1.5 s once per scene/edit, reused across frames.
+
+2. **Shear-warp frame loop** (``render_baked``, per frame): a
+   Lacroute–Levoy style factorization of the view transform —
+
+   * every volume slice along the view-major axis is projected through the
+     eye onto a common *base plane*; for axis-aligned slices this
+     projection is a per-slice uniform scale+shift, so the resampling is
+     SEPARABLE and is evaluated as batched [Bi,B]×[B,B] matmuls on the
+     MXU (hat-function interpolation matrices built on the fly);
+   * front-to-back compositing is a cumulative-sum of optical depth over
+     slices (VPU, dense); per-texel ray obliquity (sec θ) makes the
+     quadrature exact for the perspective pencil through the eye;
+   * ONE bilinear warp maps the composited base-plane image to screen
+     pixels (the only gather in the whole frame: 2·H·W rows via the
+     paired-row trick).
+
+   No per-sample network eval, no hash gathers, no host sync in the loop.
+
+Accuracy notes: the baked rgb freezes view-dependent shading at bake time
+(direction toward ``camera_pos``); density is exact up to B³ sampling.
+The exact per-sample renderer (render/renderer.py) remains the eval path —
+``tests/test_baked.py`` gates baked-vs-exact PSNR on a synthetic scene.
+
+Reference behaviors covered: interactive frame loop (testbed.cu:2044),
+V7 dynamic resolution analog (fixed-cost frames), DLSS-analog upscale
+(the final warp renders at native 1080p from a Bi² base raster).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfshop_tpu.ops import coords
+from nerfshop_tpu.render.renderer import FrameOutput
+
+
+class BakedVolume(NamedTuple):
+    """Dense field bake. ``fields[m]`` is the (rgb, σ) volume [B,B,B,4]
+    bf16 pre-permuted so that world axis ``m`` is the slice axis (k, y, x)
+    — the per-frame 3D relayout of a minor-dim-4 array costs ~100 ms on
+    v5e (terrible lane tiling), so all three layouts are built once at
+    bake time instead."""
+
+    fields: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    aabb_lo: jnp.ndarray  # [3]
+    aabb_hi: jnp.ndarray  # [3]
+    camera_pos: Optional[jnp.ndarray] = None
+
+    @property
+    def resolution(self) -> int:
+        return self.fields[0].shape[0]
+
+    @property
+    def sigma(self) -> jnp.ndarray:
+        """[B,B,B] world-space density in the canonical [z,y,x] layout."""
+        return self.fields[2][..., 3].astype(jnp.float32)
+
+    @staticmethod
+    def from_canonical(rgb, sigma, aabb_lo, aabb_hi, camera_pos=None) -> "BakedVolume":
+        """Build from canonical [z,y,x] rgb [B,B,B,3] + σ [B,B,B] arrays."""
+
+        @jax.jit
+        def _layouts(rgb, sigma):
+            field = jnp.concatenate(
+                [rgb.astype(jnp.bfloat16), sigma[..., None].astype(jnp.bfloat16)], -1
+            )
+            return tuple(
+                jnp.transpose(
+                    field,
+                    (2 - _AXIS_PERMS[m][0], 2 - _AXIS_PERMS[m][1], 2 - _AXIS_PERMS[m][2], 3),
+                )
+                for m in range(3)
+            )
+
+        return BakedVolume(
+            _layouts(rgb, sigma), jnp.asarray(aabb_lo), jnp.asarray(aabb_hi), camera_pos
+        )
+
+
+def bake_volume(
+    model,
+    params,
+    aabb: coords.BoundingBox,
+    resolution: int = 256,
+    operators: tuple = (),
+    camera_pos: Optional[jnp.ndarray] = None,
+    occupancy: Optional[jnp.ndarray] = None,
+    chunk: int = 1 << 18,
+) -> BakedVolume:
+    """Evaluate the field on a dense grid (σ + rgb), edits applied.
+
+    ``occupancy``: optional [C,128,128,128] grid — σ is zeroed outside
+    occupied cells so vanished/empty space stays empty in the bake (the
+    same masking the march applies per sample).
+    """
+    B = resolution
+    lo = jnp.asarray(aabb.min, jnp.float32)
+    hi = jnp.asarray(aabb.max, jnp.float32)
+    g = (jnp.arange(B, dtype=jnp.float32) + 0.5) / B
+    cam = None if camera_pos is None else jnp.asarray(camera_pos, jnp.float32)
+
+    @jax.jit
+    def eval_rows(kk):  # kk: [Rk] slice indices along array axis 0 (world z)
+        # volume layout [z, y, x]: array axis a holds world axis (2 − a)
+        zz, yy, xx = jnp.meshgrid((kk + 0.5) / B, g, g, indexing="ij")
+        pos = jnp.stack(
+            [lo[0] + xx * (hi[0] - lo[0]),
+             lo[1] + yy * (hi[1] - lo[1]),
+             lo[2] + zz * (hi[2] - lo[2])],
+            -1,
+        ).reshape(-1, 3)  # world xyz
+        if cam is not None:
+            d = pos - cam
+            dirs = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+        else:
+            dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), pos.shape)
+        resid_sigma = resid_rgb = None
+        empty = None
+        if operators:
+            from nerfshop_tpu.editing import operators as op_lib
+
+            pos, dirs, empty, resid_sigma, resid_rgb = op_lib.map_samples_through_stack_full(
+                list(operators), pos, dirs
+            )
+        pw = jnp.clip(coords.warp_position(pos, aabb), 0.0, 1.0)
+        dw = coords.warp_direction(dirs)
+        rgb, sigma = model(params, pw, dw)
+        if empty is not None:
+            sigma = jnp.where(empty, 0.0, sigma)
+        if resid_sigma is not None:
+            sigma = sigma + resid_sigma
+            rgb = jnp.clip(rgb + resid_rgb, 0.0, None)
+        n = kk.shape[0] * B * B
+        return rgb.reshape(kk.shape[0], B, B, 3), sigma.reshape(kk.shape[0], B, B)
+
+    rows_per_chunk = max(1, chunk // (B * B))
+    rgbs, sigs = [], []
+    for k0 in range(0, B, rows_per_chunk):
+        kk = jnp.arange(k0, min(k0 + rows_per_chunk, B), dtype=jnp.float32)
+        r, s = eval_rows(kk)
+        rgbs.append(r)
+        sigs.append(s)
+    rgb = jnp.concatenate(rgbs).astype(jnp.bfloat16)
+    sigma = jnp.concatenate(sigs)
+
+    if occupancy is not None:
+        sigma = sigma * _occupancy_mask(occupancy, aabb, B)
+
+    return BakedVolume.from_canonical(rgb, sigma, lo, hi, cam)
+
+
+def _occupancy_mask(occupancy: jnp.ndarray, aabb: coords.BoundingBox, B: int) -> jnp.ndarray:
+    """[C,R,R,R] bitfield → [B,B,B] {0,1} mask at bake resolution (each bake
+    cell reads its position's finest covering cascade, like the march)."""
+    from nerfshop_tpu.ops import march as march_lib
+
+    g = (jnp.arange(B, dtype=jnp.float32) + 0.5) / B
+    zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
+    lo = jnp.asarray(aabb.min)
+    hi = jnp.asarray(aabb.max)
+    pos = jnp.stack(
+        [lo[0] + xx * (hi[0] - lo[0]), lo[1] + yy * (hi[1] - lo[1]), lo[2] + zz * (hi[2] - lo[2])],
+        -1,
+    ).reshape(-1, 3)
+    n_casc = occupancy.shape[0]
+    dt = jnp.full((pos.shape[0],), 0.0)
+    flat = march_lib._candidate_cells(
+        pos, jnp.zeros_like(pos), jnp.zeros((pos.shape[0], 1)), dt[:, None], n_casc
+    )
+    occ = jnp.take(occupancy.reshape(-1).astype(jnp.float32), flat[:, 0], axis=0)
+    # pos already absolute: _candidate_cells expects origin+T*dir; T=0 keeps pos
+    return occ.reshape(B, B, B)
+
+
+# ---------------------------------------------------------------------------
+# Frame rendering
+# ---------------------------------------------------------------------------
+
+
+_AXIS_PERMS = {
+    # major world axis → (transpose perm putting that axis first as k, with
+    # remaining axes as (y, x)); channels stay last
+    0: (0, 1, 2),
+    1: (1, 0, 2),
+    2: (2, 0, 1),
+}
+
+
+def _frame_impl(
+    field,  # [B,B,B,4] bf16 (rgb, σ), axes already permuted to (k, y, x)
+    e,  # [3] eye in index coords (k, y, x), permuted/flipped
+    corners,  # [4, 3] index-space directions of the image corner rays (k,y,x)
+    dirs_kyx,  # [H, W, 3] per-pixel ray directions in index space (k, y, x)
+    sky,  # [4]
+    cell_world,  # [] world units per index step (isotropic cubic aabb)
+    B: int,
+    Bi: int,
+    n_group: int,
+    H: int,
+    W: int,
+    flip: bool = False,  # view k ascends opposite to storage k: remap the
+    # pass-1 row base instead of reversing the volume (no relayout)
+    with_depth: bool = True,
+):
+    f32 = jnp.float32
+    z0 = 0.5  # base plane: first slice's center
+    ez, ey, ex = e[0], e[1], e[2]
+
+    # frustum footprint on the base plane (through the 4 corner rays)
+    tz = (z0 - ez) / jnp.where(jnp.abs(corners[:, 0]) < 1e-6, 1e-6, corners[:, 0])
+    hit_y = ey + tz * corners[:, 1]
+    hit_x = ex + tz * corners[:, 2]
+    valid_c = tz > 0
+    big = jnp.float32(4 * B)
+    by0 = jnp.min(jnp.where(valid_c, hit_y, big))
+    by1 = jnp.max(jnp.where(valid_c, hit_y, -big))
+    bx0 = jnp.min(jnp.where(valid_c, hit_x, big))
+    bx1 = jnp.max(jnp.where(valid_c, hit_x, -big))
+    # clamp to the projection hull: content �− its projection through the
+    # eye onto z0 lies within hull(e_xy, [0,B])
+    by0 = jnp.clip(by0, jnp.minimum(ey, 0.0), jnp.maximum(ey, f32(B)))
+    by1 = jnp.clip(by1, jnp.minimum(ey, 0.0), jnp.maximum(ey, f32(B)))
+    bx0 = jnp.clip(bx0, jnp.minimum(ex, 0.0), jnp.maximum(ex, f32(B)))
+    bx1 = jnp.clip(bx1, jnp.minimum(ex, 0.0), jnp.maximum(ex, f32(B)))
+    by1 = jnp.maximum(by1, by0 + 1e-3)
+    bx1 = jnp.maximum(bx1, bx0 + 1e-3)
+
+    ii = jnp.arange(Bi, dtype=f32)
+    base_y = by0 + (ii + 0.5) * (by1 - by0) / Bi  # [Bi]
+    base_x = bx0 + (ii + 0.5) * (bx1 - bx0) / Bi
+
+    # per-texel ray obliquity: ray = (base_pt − e); sec = |ray| / |ray_k|
+    dby = base_y[:, None] - ey  # [Bi,1]
+    dbx = base_x[None, :] - ex  # [1,Bi]
+    dz0 = z0 - ez
+    sec = jnp.sqrt(dby * dby + dbx * dbx + dz0 * dz0) / jnp.abs(dz0)  # [Bi,Bi]
+    dt_w = cell_world * sec  # world path length per slice
+
+    kk = jnp.arange(B, dtype=f32) + 0.5
+    s_all = (z0 - ez) / (kk - ez)  # per-slice projection scale
+    front = (kk - ez) > 1e-3  # slices in front of the eye
+    # inverse map: base coord → slice coord  q = e + (base − e)/s
+    inv_s = jnp.where(front, 1.0 / jnp.where(jnp.abs(s_all) < 1e-6, 1e-6, s_all), 0.0)
+
+    # Per-slice source coordinates depend only on (k, base index) — the
+    # separable resample is TWO flat row-gathers with k-only indices (a
+    # batched-matmul formulation measured ~500× off MXU peak on v5e, while
+    # monotone wide-row takes run at memory speed).
+    def src_and_weights(base_coords, e_ax):  # [Bi] → idx0 [B,Bi], frac, valid
+        src = (base_coords[None, :] - e_ax) * inv_s[:, None] + e_ax  # [B, Bi]
+        src = src - 0.5  # cell-center grid
+        q0 = jnp.floor(src)
+        frac = (src - q0).astype(jnp.bfloat16)
+        q0i = jnp.clip(q0.astype(jnp.int32), 0, B - 2)
+        valid = (src >= 0.0) & (src <= f32(B - 1))
+        return q0i, frac, valid
+
+    # field layout is [k, y, x, c]; pass 1 resamples Y (row unit = (k, y),
+    # row content = [x, c] contiguous), pass 2 resamples X after a
+    # transpose. Indices broadcast over the row content.
+    y0i, fy_, vy = src_and_weights(base_y, ey)
+    x0i, fx_, vx = src_and_weights(base_x, ex)
+
+    flat1 = field.reshape(B * B, B * 4)
+    karr = jnp.arange(B, dtype=jnp.int32)
+    if flip:
+        karr = B - 1 - karr
+    rows_a = (karr[:, None] * B + y0i).reshape(-1)
+    ra0 = jnp.take(flat1, rows_a, axis=0)
+    ra1 = jnp.take(flat1, rows_a + 1, axis=0)
+    fy_b = fy_.reshape(-1, 1)
+    vy_b = vy.reshape(-1, 1)
+    out1 = jnp.where(vy_b, ra0 * (1 - fy_b) + ra1 * fy_b, 0)  # [B*Bi, B*4] bf16
+    out1 = out1.reshape(B, Bi, B, 4).transpose(0, 2, 1, 3)  # [k, x, y', c]
+
+    flat2 = out1.reshape(B * B, Bi * 4)
+    rows_b = (jnp.arange(B, dtype=jnp.int32)[:, None] * B + x0i).reshape(-1)
+    rb0 = jnp.take(flat2, rows_b, axis=0)
+    rb1 = jnp.take(flat2, rows_b + 1, axis=0)
+    fx_b = fx_.reshape(-1, 1)
+    vx_b = vx.reshape(-1, 1)
+    out2 = jnp.where(vx_b, rb0 * (1 - fx_b) + rb1 * fx_b, 0)
+    r2 = out2.reshape(B, Bi, Bi, 4)  # [k, x', y', (rgb, σ)] bf16 — a full
+    # f32 copy here materializes 1 GB + a layout flip; keep bf16 and lift
+    # only σ to f32 for the optical-depth accumulation
+
+    # ---- composite over slices (note base raster is [x', y']) -------------
+    dt_map = dt_w.T  # sec/dt were built [y', x'] — transpose to [x', y']
+    tau = jax.nn.relu(r2[..., 3].astype(f32)) * dt_map[None] * front[:, None, None].astype(f32)
+    ctau = jnp.cumsum(tau, axis=0)
+    wgt = jnp.exp(-(ctau - tau)) * (1.0 - jnp.exp(-tau))  # [B, Bi, Bi]
+    acc = jnp.sum(wgt[..., None] * r2[..., :3].astype(f32), axis=0)  # [Bi, Bi, 3]
+    T = jnp.exp(-ctau[-1])
+    if with_depth:
+        tk = (kk - ez)[:, None, None] * sec.T[None] * cell_world
+        depth_acc = jnp.sum(wgt * tk, axis=0)
+    else:
+        depth_acc = jnp.zeros((Bi, Bi), f32)
+
+    base = jnp.concatenate([acc, 1.0 - T[..., None], depth_acc[..., None]], -1)  # [Bi(x'),Bi(y'),5]
+
+    # ---- final warp: screen → base raster, bilinear via paired rows -------
+    dk = dirs_kyx[..., 0]
+    t_hit = (z0 - ez) / jnp.where(jnp.abs(dk) < 1e-6, 1e-6, dk)
+    hy = ey + t_hit * dirs_kyx[..., 1]
+    hx = ex + t_hit * dirs_kyx[..., 2]
+    gy = (hy - by0) / (by1 - by0) * Bi - 0.5
+    gx = (hx - bx0) / (bx1 - bx0) * Bi - 0.5
+    ok = (t_hit > 0) & (gy > -1.0) & (gy < Bi) & (gx > -1.0) & (gx < Bi)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, Bi - 2)
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, Bi - 2)
+    fy = jnp.clip(gy - y0, 0.0, 1.0)[..., None]
+    fx = jnp.clip(gx - x0, 0.0, 1.0)[..., None]
+    # pack all 4 bilinear taps into ONE row so the warp costs a single
+    # 2M-row gather (gather cost on v5e is row-count-bound ~8e7 rows/s —
+    # two takes here were 54 ms of the frame)
+    shift_y = jnp.roll(base, -1, axis=1)
+    shift_x = jnp.roll(base, -1, axis=0)
+    shift_xy = jnp.roll(shift_x, -1, axis=1)
+    pack = jnp.concatenate([base, shift_y, shift_x, shift_xy], -1).astype(jnp.bfloat16)
+    pack = jax.lax.optimization_barrier(pack.reshape(Bi * Bi, 20))
+    i0 = (x0 * Bi + y0).reshape(-1)
+    r = jnp.take(pack, i0, axis=0).reshape(H, W, 20).astype(f32)
+    left = r[..., 0:5] * (1 - fy) + r[..., 5:10] * fy  # x0 column, y-lerped
+    right = r[..., 10:15] * (1 - fy) + r[..., 15:20] * fy  # x0+1 column
+    out = left * (1 - fx) + right * fx  # [H,W,5]
+    rgb = out[..., :3]
+    alpha = out[..., 3]
+    depth = out[..., 4] / jnp.maximum(alpha, 1e-6)
+    rgb = jnp.where(ok[..., None], rgb, 0.0)
+    alpha = jnp.where(ok, alpha, 0.0)
+    rgba = jnp.concatenate(
+        [rgb + (1.0 - alpha[..., None]) * sky[:3], (alpha + (1.0 - alpha) * sky[3])[..., None]],
+        -1,
+    )
+    return rgba, jnp.where(ok, depth, 0.0)
+
+
+_FRAME_FN_CACHE: dict = {}
+
+
+def render_baked(
+    vol: BakedVolume,
+    resolution: Tuple[int, int],  # (W, H)
+    xform: jnp.ndarray,  # [3,4] camera-to-world
+    focal: jnp.ndarray,  # [2] pixels
+    principal: Optional[jnp.ndarray] = None,
+    background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+    base_resolution: int = 512,
+    slice_group: int = 32,
+    with_depth: bool = True,
+) -> FrameOutput:
+    """Render one frame from a baked volume (shear-warp, all-dense)."""
+    W, H = resolution
+    B = vol.resolution
+    Bi = base_resolution
+    principal = np.asarray([0.5, 0.5], np.float32) if principal is None else principal
+
+    # all camera math stays in numpy: pulling a jnp scalar to host costs a
+    # full tunnel round-trip (~30 ms) in the serving setup
+    xform = np.asarray(xform, np.float32)
+    fwd = xform[:, 2]
+    major = int(np.argmax(np.abs(fwd)))
+    flip = bool(fwd[major] < 0)
+
+    key = (B, Bi, W, H, major, flip, slice_group, with_depth)
+    fn = _FRAME_FN_CACHE.get(key)
+    if fn is None:
+        perm = _AXIS_PERMS[major]
+
+        @jax.jit
+        def frame(fld, lo, hi, cam20):
+            # ONE packed host→device transfer per frame: [3,4] xform,
+            # focal, principal, sky (each DevicePut through the serving
+            # tunnel costs ~10 ms — separate puts dominated the frame)
+            xform = cam20[:12].reshape(3, 4)
+            focal = cam20[12:14]
+            principal = cam20[14:16]
+            sky = cam20[16:20]
+            # world → index coords: idx_axis a = (p[a]−lo[a])/(hi−lo)[a]·B
+            scale = B / (hi - lo)
+            eye_w = xform[:, 3]
+            e_idx = (eye_w - lo) * scale  # [3] in (x,y,z) world order
+            # per-pixel directions in camera, then world, then index space
+            uu = (jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5 - principal[0] * W) / focal[0]
+            vv = (jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5 - principal[1] * H) / focal[1]
+            d_cam = jnp.stack(
+                [jnp.broadcast_to(uu, (H, W)), jnp.broadcast_to(vv, (H, W)), jnp.ones((H, W))],
+                -1,
+            )
+            d_w = jnp.einsum("ij,hwj->hwi", xform[:, :3], d_cam)
+            d_idx = d_w * scale  # anisotropic allowed
+            cu = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+            cc = (cu * jnp.asarray([W, H], jnp.float32) - principal * jnp.asarray([W, H])) / focal
+            c_cam = jnp.concatenate([cc, jnp.ones((4, 1))], -1)
+            c_idx = jnp.einsum("ij,cj->ci", xform[:, :3], c_cam) * scale
+
+            # world axes → (k, y, x); the volume arrives pre-permuted for
+            # this major axis (vol.fields[major]); k-flip is an index remap
+            # inside _frame_impl, not an array reversal
+            p = perm
+            e_kyx = jnp.stack([e_idx[p[0]], e_idx[p[1]], e_idx[p[2]]])
+            d_kyx = jnp.stack(
+                [d_idx[..., p[0]], d_idx[..., p[1]], d_idx[..., p[2]]], -1
+            )
+            c_kyx = jnp.stack([c_idx[:, p[0]], c_idx[:, p[1]], c_idx[:, p[2]]], -1)
+            if flip:
+                e_kyx = e_kyx.at[0].set(B - e_kyx[0])
+                d_kyx = d_kyx.at[..., 0].multiply(-1.0)
+                c_kyx = c_kyx.at[:, 0].multiply(-1.0)
+            cell_world = (hi[0] - lo[0]) / B  # cubic ngp aabb
+            return _frame_impl(
+                fld, e_kyx, c_kyx, d_kyx, sky, cell_world,
+                B, Bi, slice_group, H, W, flip=flip, with_depth=with_depth,
+            )
+
+        _FRAME_FN_CACHE[key] = fn = frame
+
+    cam20 = np.concatenate(
+        [
+            np.asarray(xform, np.float32).reshape(-1),
+            np.asarray(focal, np.float32).reshape(-1),
+            np.asarray(principal, np.float32).reshape(-1),
+            np.asarray(background, np.float32).reshape(-1),
+        ]
+    )
+    rgba, depth = fn(vol.fields[major], vol.aabb_lo, vol.aabb_hi, jnp.asarray(cam20))
+    return FrameOutput(rgba, depth)
