@@ -361,7 +361,10 @@ def march_rays(
     nocc = jnp.sum(occ_f.astype(jnp.int32), axis=1)  # [R]
     fine_ids = jnp.broadcast_to(jnp.arange(J, dtype=jnp.int32)[None, :], (R, J))
     fine_keys = jnp.where(occ_f, fine_ids, fine_ids + J)
-    _, t_sorted, dt_sorted = _sorted_first(fine_keys, (T_f, dt_f), J)
+    # dt is a pure function of t (calc_dt) — recompute after the sort
+    # instead of carrying a second payload through the bitonic network
+    _, t_sorted = _sorted_first(fine_keys, (T_f,), J)
+    dt_sorted = coords.calc_dt(t_sorted, cone_angle)
 
     if selection == "spread":
         stride_f = jnp.clip(nocc.astype(jnp.float32) / K, 1.0, spread_stride_cap)

@@ -435,7 +435,16 @@ def render_baked(
                 B, Bi, slice_group, H, W, flip=flip, with_depth=with_depth,
             )
 
-        _FRAME_FN_CACHE[key] = fn = frame
+        # AOT-compile: plain jit dispatch (pytree flatten + arg checks in
+        # Python) costs ~tens of ms per call on a 1-core host — the
+        # compiled executable is called with positional buffers directly
+        fn = frame.lower(
+            jax.ShapeDtypeStruct(vol.fields[major].shape, vol.fields[major].dtype),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+            jax.ShapeDtypeStruct((20,), jnp.float32),
+        ).compile()
+        _FRAME_FN_CACHE[key] = fn
 
     cam20 = np.concatenate(
         [
