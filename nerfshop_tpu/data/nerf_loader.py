@@ -58,6 +58,10 @@ class NerfDataset:
     has_light_dirs: bool = False
     light_dirs: Optional[np.ndarray] = None
     rolling_shutter: np.ndarray = field(default_factory=lambda: np.zeros(4, np.float32))
+    #: end-of-exposure poses for rolling shutter / motion blur, same shape as
+    #: ``xforms`` (per-frame ``transform_matrix_end`` in transforms.json);
+    #: None when no frame supplies one
+    xforms_end: Optional[np.ndarray] = None
     envmap_path: Optional[str] = None
     #: "srgb" for LDR sources (training happens in sRGB space, matching the
     #: reference's linear_colors=false default, testbed.h:582), "linear" for HDR
@@ -212,7 +216,10 @@ def load_nerf(
             xform = nerf_matrix_to_ngp(
                 np.asarray(f["transform_matrix"], np.float32), scale, offset, from_mitsuba
             )
-            return img, xform, intr, str(p), f.get("sharpness"), False, f.get("light_dir")
+            xf_end = f.get("transform_matrix_end")
+            if xf_end is not None:
+                xf_end = nerf_matrix_to_ngp(np.asarray(xf_end, np.float32), scale, offset, from_mitsuba)
+            return img, xform, intr, str(p), f.get("sharpness"), False, f.get("light_dir"), xf_end
         # keep the file's native color space: LDR stays sRGB (the reference
         # trains directly in sRGB, linear_colors=false), EXR stays linear
         img = image_io.read_image(p, linear=False)
@@ -228,7 +235,10 @@ def load_nerf(
         sharp = f.get("sharpness", None)
         is_hdr = p.suffix.lower() in (".exr", ".bin")
         light_dir = f.get("light_dir")
-        return img.astype(np.float32), xform, intr, str(p), sharp, is_hdr, light_dir
+        xf_end = f.get("transform_matrix_end")
+        if xf_end is not None:
+            xf_end = nerf_matrix_to_ngp(np.asarray(xf_end, np.float32), scale, offset, from_mitsuba)
+        return img.astype(np.float32), xform, intr, str(p), sharp, is_hdr, light_dir, xf_end
 
     with cf.ThreadPoolExecutor(max_workers=16) as pool:
         results = [r for r in pool.map(load_frame, merged_frames) if r is not None]
@@ -259,6 +269,12 @@ def load_nerf(
     has_light_dirs = all(r[6] is not None for r in results) and len(results) > 0 and results[0][6] is not None
     if has_light_dirs:
         light_dirs = np.stack([np.asarray(r[6], np.float32) for r in results])
+    # end-of-exposure poses: frames without one default to their start pose
+    xforms_end = None
+    if any(r[7] is not None for r in results):
+        xforms_end = np.stack(
+            [r[7] if r[7] is not None else r[1] for r in results]
+        ).astype(np.float32)
 
     return NerfDataset(
         images=images,
@@ -275,6 +291,7 @@ def load_nerf(
         has_light_dirs=has_light_dirs,
         light_dirs=light_dirs,
         rolling_shutter=np.asarray(top.get("rolling_shutter", [0, 0, 0, 0]), np.float32),
+        xforms_end=xforms_end,
         envmap_path=top.get("envmap"),
         color_space="linear" if is_hdr else "srgb",
     )

@@ -298,15 +298,167 @@ def inflate_to_bound(cage: TriMesh, points: np.ndarray, margin: float = 0.0, ite
     return TriMesh(verts.astype(np.float32), cage.faces)
 
 
+def fix_proxy_mesh(mesh: TriMesh, weld_eps: float = 1e-5) -> TriMesh:
+    """Repair a decimated cage so it is a clean closed manifold — the
+    MeshFix step of the reference pipeline (fix_proxy_mesh,
+    growing_selection.cu:1187). Conservative numpy equivalent:
+
+    1. weld vertices closer than ``weld_eps`` · bbox diagonal,
+    2. drop degenerate and duplicate faces,
+    3. at non-manifold edges (>2 incident faces) keep the two largest-area
+       faces and drop the rest,
+    4. keep the largest connected component, re-orient windings outward,
+    5. fill remaining simple boundary loops by fan triangulation.
+    """
+    if mesh.n_faces == 0:
+        return mesh
+    v = mesh.vertices.astype(np.float64)
+    scale = float(np.linalg.norm(v.max(0) - v.min(0)) + 1e-12)
+    # 1. weld
+    keys = np.round(v / (weld_eps * scale)).astype(np.int64)
+    _, uniq_idx, inverse = np.unique(keys, axis=0, return_index=True, return_inverse=True)
+    v = v[uniq_idx]
+    f = inverse[mesh.faces]
+    # 2. degenerate + duplicate faces
+    keep = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    f = f[keep]
+    if len(f) == 0:
+        return TriMesh(v.astype(np.float32), np.zeros((0, 3), np.int32))
+    _, idx = np.unique(np.sort(f, 1), axis=0, return_index=True)
+    f = f[np.sort(idx)]
+    # 3. non-manifold edges: keep the two best-supported faces per edge.
+    # Support = how many of a face's OTHER edges are cleanly 2-manifold —
+    # a fin/flap typically dangles with boundary edges, so it loses to the
+    # surface proper regardless of its area (area only tie-breaks).
+    from collections import defaultdict
+
+    area = 0.5 * np.linalg.norm(
+        np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]]), axis=-1
+    )
+    edge_faces = defaultdict(list)
+    for fi, (a, b, c) in enumerate(f):
+        for e in ((a, b), (b, c), (c, a)):
+            edge_faces[(min(e), max(e))].append(fi)
+
+    def support(fi, skip_edge):
+        s = 0
+        a, b, c = f[fi]
+        for e in ((a, b), (b, c), (c, a)):
+            key = (min(e), max(e))
+            if key != skip_edge and len(edge_faces[key]) == 2:
+                s += 1
+        return s
+
+    drop = set()
+    for e, fis in edge_faces.items():
+        if len(fis) > 2:
+            fis_sorted = sorted(fis, key=lambda i: (-support(i, e), -area[i]))
+            drop.update(fis_sorted[2:])
+    if drop:
+        f = f[[i for i in range(len(f)) if i not in drop]]
+    m = largest_component(TriMesh(v.astype(np.float32), f.astype(np.int32)))
+    m = isosurface.orient_consistently(m)
+    # 5. fill boundary loops (edges with exactly one incident face)
+    edge_count = defaultdict(int)
+    directed = {}
+    for a, b, c in m.faces:
+        for e in ((a, b), (b, c), (c, a)):
+            edge_count[(min(e), max(e))] += 1
+            directed[e] = True
+    boundary = [e for e, n in edge_count.items() if n == 1]
+    if boundary:
+        # orient boundary edges opposite to their face's direction
+        nxt = {}
+        for a, b in boundary:
+            if (a, b) in directed:
+                nxt[b] = a  # boundary traversed against face winding
+            else:
+                nxt[a] = b
+        new_faces = []
+        visited = set()
+        for start in list(nxt):
+            if start in visited or start not in nxt:
+                continue
+            loop = [start]
+            visited.add(start)
+            cur = nxt.get(start)
+            while cur is not None and cur != start and cur not in visited:
+                loop.append(cur)
+                visited.add(cur)
+                cur = nxt.get(cur)
+            if cur == start and len(loop) >= 3:
+                for i in range(1, len(loop) - 1):
+                    new_faces.append([loop[0], loop[i], loop[i + 1]])
+        if new_faces:
+            f2 = np.concatenate([m.faces, np.asarray(new_faces, np.int32)])
+            m = isosurface.orient_consistently(TriMesh(m.vertices, f2))
+    return m
+
+
+def _subdivide_longest_edges(mesh: TriMesh, frac: float = 0.25) -> TriMesh:
+    """1→3 split of the longest ``frac`` of faces (midpoint insertion at the
+    longest edge) — the refinement primitive of the cage refinement loop."""
+    v = mesh.vertices.astype(np.float64)
+    f = mesh.faces
+    e = v[f[:, [1, 2, 0]]] - v[f]  # edge vectors per face
+    elen = np.linalg.norm(e, axis=-1)  # [F, 3]
+    longest = elen.max(-1)
+    k = max(1, int(len(f) * frac))
+    split = np.argsort(-longest)[:k]
+    split_set = set(split.tolist())
+    new_v = list(v)
+    new_f = []
+    mid_cache = {}
+
+    def midpoint(a, b):
+        key = (min(a, b), max(a, b))
+        if key not in mid_cache:
+            mid_cache[key] = len(new_v)
+            new_v.append((v[a] + v[b]) / 2)
+        return mid_cache[key]
+
+    for fi, (a, b, c) in enumerate(f):
+        if fi not in split_set:
+            new_f.append([a, b, c])
+            continue
+        le = int(np.argmax(elen[fi]))  # 0:(a,b) 1:(b,c) 2:(c,a)
+        pairs = [(a, b, c), (b, c, a), (c, a, b)][le]
+        p, q, r = pairs
+        mm = midpoint(p, q)
+        new_f += [[p, mm, r], [mm, q, r]]
+    out = TriMesh(np.asarray(new_v, np.float32), np.asarray(new_f, np.int32))
+    # splits at shared edges leave T-junctions on the neighbor face; weld +
+    # repair resolves them conservatively
+    return fix_proxy_mesh(out)
+
+
+def refine_cage(
+    cage: TriMesh,
+    points: np.ndarray,
+    iters: int = 2,
+    margin: float = 0.0,
+) -> TriMesh:
+    """Cage refinement loop (the reference's optional refinement pass after
+    proxy decimation, growing_selection.cu): alternately subdivide the
+    coarsest faces and re-tighten containment, giving the cage more degrees
+    of freedom where it is coarse."""
+    for _ in range(max(0, iters)):
+        cage = _subdivide_longest_edges(cage, frac=0.2)
+        cage = inflate_to_bound(cage, points, margin=margin)
+    return cage
+
+
 def compute_proxy_cage(
     selection: np.ndarray,
     level: int,
     target_vertices: int = 100,
     dilation: int = 2,
     coarse_res: int = 32,
+    refine_iters: int = 0,
 ) -> TriMesh:
     """Selection voxels → ~100-vertex bounding cage
-    (compute_proxy_mesh growing_selection.cu:981-1049)."""
+    (compute_proxy_mesh growing_selection.cu:981-1049). ``refine_iters`` > 0
+    additionally runs the subdivide+re-bound refinement loop."""
     from scipy import ndimage
 
     # dilate then downsample to a coarse field for a smooth outer shell
@@ -333,7 +485,11 @@ def compute_proxy_cage(
     pts = lo + (pts + 0.5) * (hi - lo) / R
     if len(pts) > 20000:
         pts = pts[np.random.default_rng(0).choice(len(pts), 20000, replace=False)]
-    return inflate_to_bound(cage, pts, margin=float(spacing.min()) * 0.25)
+    cage = fix_proxy_mesh(cage)
+    cage = inflate_to_bound(cage, pts, margin=float(spacing.min()) * 0.25)
+    if refine_iters > 0:
+        cage = refine_cage(cage, pts, iters=refine_iters, margin=float(spacing.min()) * 0.25)
+    return cage
 
 
 def box_cage(selection: np.ndarray, level: int, margin_cells: float = 2.0) -> TriMesh:

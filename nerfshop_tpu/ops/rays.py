@@ -2,8 +2,10 @@
 
 Parity surface: the reference's ``pixel_to_ray`` (common_device.cuh:245) —
 pinhole projection with principal point, iterative radial/tangential
-undistortion (k1 k2 p1 p2), depth-of-field sampling, and subpixel jitter for
-progressive spp accumulation. F-theta and latlong lenses are deferred.
+undistortion (k1 k2 p1 p2), f-theta fisheye and latlong (equirectangular)
+lenses, depth-of-field sampling, subpixel jitter for progressive spp
+accumulation, and rolling-shutter / motion-blur pose interpolation
+(testbed_nerf.cu:1087 ray time = rs.x + rs.y·u + rs.z·v + rs.w·ξ).
 
 All functions are batched over pixels and jit-safe.
 """
@@ -83,6 +85,97 @@ def pixel_to_ray(
     return RayBundle(origin, direction)
 
 
+def latlong_to_dir(uv: jnp.ndarray) -> jnp.ndarray:
+    """Equirectangular pixel UV ∈ [0,1]² → camera-local direction.
+
+    Convention matches the reference's latlong_to_dir (common_device.cuh):
+    v is latitude (y up at v=1), u is longitude with u=0.5 looking down +z.
+    """
+    theta = (uv[..., 1] - 0.5) * jnp.pi
+    phi = (uv[..., 0] - 0.5) * (2.0 * jnp.pi)
+    ct = jnp.cos(theta)
+    return jnp.stack([jnp.sin(phi) * ct, jnp.sin(theta), jnp.cos(phi) * ct], -1)
+
+
+def dir_to_latlong(d: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`latlong_to_dir` → UV ∈ [0,1]²."""
+    theta = jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(d[..., 0], d[..., 2])
+    return jnp.stack([phi / (2.0 * jnp.pi) + 0.5, theta / jnp.pi + 0.5], -1)
+
+
+def latlong_ray(
+    pixel_xy: jnp.ndarray,  # [..., 2]
+    xform: jnp.ndarray,  # [3, 4]
+    resolution: jnp.ndarray,  # [2] (W, H)
+    subpixel_jitter: Optional[jnp.ndarray] = None,
+) -> RayBundle:
+    """360° panorama rays (reference lens Latlong, common_device.cuh)."""
+    offset = subpixel_jitter if subpixel_jitter is not None else 0.5
+    uv = (pixel_xy + offset) / resolution
+    d_cam = latlong_to_dir(uv)
+    rot = xform[:, :3]
+    direction = jnp.einsum("ij,...j->...i", rot, d_cam)
+    origin = jnp.broadcast_to(xform[:, 3], direction.shape)
+    return RayBundle(origin, direction)
+
+
+def ftheta_ray(
+    pixel_xy: jnp.ndarray,  # [..., 2]
+    xform: jnp.ndarray,  # [3, 4]
+    principal: jnp.ndarray,  # [2] normalized
+    resolution: jnp.ndarray,  # [2] (W, H)
+    ftheta_coeffs: jnp.ndarray,  # [5] polynomial p0..p4: θ(r) in radians
+    subpixel_jitter: Optional[jnp.ndarray] = None,
+) -> RayBundle:
+    """Fisheye f-theta lens: image radius r (pixels from the principal
+    point) maps to polar angle θ = Σᵢ pᵢ rⁱ; azimuth is preserved.
+    Mirrors the reference's f_theta_undistortion (common_device.cuh) used
+    by pixel_to_ray when the lens mode is FTheta. Rays whose θ exceeds π
+    are aimed backwards and should be masked by the caller if undesired."""
+    offset = subpixel_jitter if subpixel_jitter is not None else 0.5
+    xy = pixel_xy + offset - principal * resolution  # pixels from center
+    r = jnp.sqrt(jnp.sum(xy * xy, axis=-1) + 1e-12)
+    theta = (
+        ftheta_coeffs[0]
+        + r * (ftheta_coeffs[1] + r * (ftheta_coeffs[2] + r * (ftheta_coeffs[3] + r * ftheta_coeffs[4])))
+    )
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    # camera looks down +z; azimuth from pixel offset (image y grows down)
+    d_cam = jnp.stack([xy[..., 0] / r * st, xy[..., 1] / r * st, ct], -1)
+    rot = xform[:, :3]
+    direction = jnp.einsum("ij,...j->...i", rot, d_cam)
+    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    origin = jnp.broadcast_to(xform[:, 3], direction.shape)
+    return RayBundle(origin, direction)
+
+
+def pose_lerp(xf_start: jnp.ndarray, xf_end: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Per-element lerp of [..., 3, 4] camera matrices at times t ∈ [0,1]
+    (the reference's rolling-shutter camera interpolation — it lerps the
+    matrix directly rather than slerping, testbed_nerf.cu:1127)."""
+    t = t[..., None, None]
+    return xf_start * (1.0 - t) + xf_end * t
+
+
+def shutter_times(
+    rng: jax.Array,
+    pix: jnp.ndarray,  # [N, 2] pixel coords
+    resolution: jnp.ndarray,  # [2] (W, H)
+    rolling_shutter: jnp.ndarray,  # [4] (offset, du, dv, motion-blur jitter)
+) -> jnp.ndarray:
+    """Per-ray normalized exposure time: rs.x + rs.y·u + rs.z·v + rs.w·ξ
+    (reference generate_training_samples_nerf, testbed_nerf.cu:1124)."""
+    uv = pix / resolution
+    xi = jax.random.uniform(rng, pix.shape[:-1])
+    return (
+        rolling_shutter[0]
+        + rolling_shutter[1] * uv[..., 0]
+        + rolling_shutter[2] * uv[..., 1]
+        + rolling_shutter[3] * xi
+    )
+
+
 def rays_for_image(
     resolution: Tuple[int, int],  # (W, H)
     xform: jnp.ndarray,
@@ -90,12 +183,24 @@ def rays_for_image(
     principal: jnp.ndarray,
     distortion: Optional[jnp.ndarray] = None,
     subpixel_jitter: Optional[jnp.ndarray] = None,
+    lens: str = "pinhole",
+    ftheta_coeffs: Optional[jnp.ndarray] = None,
 ) -> RayBundle:
-    """All pixels of an image, row-major → origins/directions [H*W, 3]."""
+    """All pixels of an image, row-major → origins/directions [H*W, 3].
+
+    ``lens`` selects the projection: 'pinhole' (default, with optional
+    Brown–Conrady distortion), 'ftheta' (fisheye polynomial, needs
+    ``ftheta_coeffs``), or 'latlong' (equirectangular panorama)."""
     W, H = resolution
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij")
     pix = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)
     res = jnp.asarray([W, H], jnp.float32)
+    if lens == "latlong":
+        return latlong_ray(pix, xform, res, subpixel_jitter)
+    if lens == "ftheta":
+        if ftheta_coeffs is None:
+            raise ValueError("lens='ftheta' requires ftheta_coeffs [5]")
+        return ftheta_ray(pix, xform, principal, res, jnp.asarray(ftheta_coeffs), subpixel_jitter)
     return pixel_to_ray(pix, xform, focal, principal, res, distortion, subpixel_jitter)
 
 
@@ -167,6 +272,9 @@ def rays_from_pixels(
     resolution: jnp.ndarray,  # [2] (W, H)
     distortions: Optional[jnp.ndarray] = None,
     camera_params: Optional[dict] = None,
+    xforms_end: Optional[jnp.ndarray] = None,  # [N, 3, 4] end-of-exposure pose
+    rolling_shutter: Optional[jnp.ndarray] = None,  # [4]
+    rng: Optional[jax.Array] = None,  # motion-blur jitter source
 ) -> RayBundle:
     """Differentiable ray construction, optionally through learnable pose
     deltas {'rot':[N,3],'trans':[N,3]} — gradients flow from sample
@@ -175,8 +283,18 @@ def rays_from_pixels(
     With camera_params['distortion_map'] ([Hd, Wd, 2]), a learnable
     screen-space direction offset is bilinearly sampled at the pixel UV —
     the TPU analog of the reference's TrainableBuffer<2,2> distortion grid
-    (src/testbed.cu:2407-2425, applied in pixel_to_ray)."""
+    (src/testbed.cu:2407-2425, applied in pixel_to_ray).
+
+    With ``xforms_end``/``rolling_shutter``, each ray's camera pose is
+    lerped between the start/end-of-exposure matrices at its shutter time
+    (reference testbed_nerf.cu:1124: rolling shutter + motion blur)."""
     xf = xforms[img_idx]
+    if xforms_end is not None and rolling_shutter is not None:
+        t = shutter_times(
+            rng if rng is not None else jax.random.PRNGKey(0),
+            pix, resolution, rolling_shutter,
+        )
+        xf = pose_lerp(xf, xforms_end[img_idx], t)
     if camera_params is not None:
         xf = apply_pose_delta(xf, camera_params["rot"][img_idx], camera_params["trans"][img_idx])
     dist = distortions[img_idx] if distortions is not None else None

@@ -605,12 +605,13 @@ def _make_chunk_fn(model, opts: RenderOptions):
     return jax.jit(chunk_fn)
 
 
-def _make_rays_fn(resolution):
+def _make_rays_fn(resolution, lens: str = "pinhole"):
     W, H = resolution
 
-    def rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad):
+    def rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad, ftheta_coeffs=None):
         bundle = rays_lib.rays_for_image(
-            (W, H), xform, focal, principal, distortion, subpixel_jitter
+            (W, H), xform, focal, principal, distortion, subpixel_jitter,
+            lens=lens, ftheta_coeffs=ftheta_coeffs,
         )
         origins = jnp.concatenate([bundle.origins, jnp.zeros((n_pad, 3))])
         dirs = jnp.concatenate(
@@ -640,9 +641,14 @@ def render_frame(
     subpixel_jitter: Optional[jnp.ndarray] = None,
     operators: tuple = (),
     envmap: Optional[jnp.ndarray] = None,
+    lens: str = "pinhole",
+    ftheta_coeffs: Optional[jnp.ndarray] = None,
 ) -> FrameOutput:
     """Render one frame, chunked over pixels; compiled chunk programs are
-    cached so arbitrary resolutions reuse the same executable."""
+    cached so arbitrary resolutions reuse the same executable.
+
+    ``lens`` ∈ {'pinhole','ftheta','latlong'} selects the camera projection
+    (reference pixel_to_ray lens modes, common_device.cuh:245)."""
     W, H = resolution
     principal = jnp.asarray([0.5, 0.5]) if principal is None else principal
     bg = jnp.asarray(opts.background, jnp.float32)
@@ -653,12 +659,13 @@ def render_frame(
     chunk = min(opts.chunk, n)
     n_pad = (-n) % chunk
 
-    rkey = (W, H, distortion is not None, subpixel_jitter is not None)
+    rkey = (W, H, distortion is not None, subpixel_jitter is not None, lens)
     rays_fn = _RAYS_FN_CACHE.get(rkey)
     if rays_fn is None:
-        rays_fn = _make_rays_fn((W, H))
+        rays_fn = _make_rays_fn((W, H), lens)
         _RAYS_FN_CACHE[rkey] = rays_fn
-    origins, dirs = rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad)
+    fkw = {"ftheta_coeffs": jnp.asarray(ftheta_coeffs)} if lens == "ftheta" else {}
+    origins, dirs = rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad, **fkw)
 
     ckey = (id(model), opts, chunk, op_kinds, envmap is not None)
     chunk_fn = _CHUNK_FN_CACHE.get(ckey)

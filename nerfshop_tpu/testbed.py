@@ -516,6 +516,136 @@ class Testbed:
         f = 0.5 * height / math.tan(0.5 * math.radians(self.fov_deg))
         return np.array([f, f], np.float32)
 
+    # ---------------------------------------------------- camera API (pyngp parity)
+    # functional equivalents of the reference's camera accessors
+    # (src/python_api.cu: fov/view_dir/up_dir/look_at/scale/translate_camera/
+    #  set_camera_to_training_view/get_camera_extrinsics)
+
+    @property
+    def fov(self) -> float:
+        """Vertical field of view in degrees (reference: Testbed::fov)."""
+        return self.fov_deg
+
+    @fov.setter
+    def fov(self, deg: float) -> None:
+        self.fov_deg = float(deg)
+
+    @property
+    def view_dir(self) -> np.ndarray:
+        return self.camera_matrix[:, 2].copy()
+
+    @view_dir.setter
+    def view_dir(self, d) -> None:
+        # rotate the camera about its look-at point to face the new direction
+        # (reference Testbed::set_view_dir semantics)
+        at = self.look_at
+        d = np.asarray(d, np.float32)
+        d = d / (np.linalg.norm(d) + 1e-12)
+        eye = at - d * self.view_distance
+        self.set_look_at(center=at, eye=eye, up=-self.camera_matrix[:, 1])
+
+    @property
+    def up_dir(self) -> np.ndarray:
+        return -self.camera_matrix[:, 1].copy()
+
+    @property
+    def view_distance(self) -> float:
+        """Distance from the camera to its orbit point (reference: m_scale)."""
+        return float(getattr(self, "_view_distance", 1.5))
+
+    @view_distance.setter
+    def view_distance(self, s: float) -> None:
+        self._view_distance = float(s)
+
+    @property
+    def look_at(self) -> np.ndarray:
+        """Orbit point: ``view_distance`` along the view axis."""
+        return self.camera_matrix[:, 3] + self.camera_matrix[:, 2] * self.view_distance
+
+    @look_at.setter
+    def look_at(self, p) -> None:
+        self.camera_matrix = self.camera_matrix.copy()
+        self.camera_matrix[:, 3] = np.asarray(p, np.float32) - self.camera_matrix[:, 2] * self.view_distance
+
+    def translate_camera(self, delta) -> None:
+        """Move the camera in its local frame (right/down/forward axes)."""
+        delta = np.asarray(delta, np.float32)
+        self.camera_matrix = self.camera_matrix.copy()
+        self.camera_matrix[:, 3] += self.camera_matrix[:, :3] @ delta
+
+    def set_camera_to_training_view(self, i: int) -> None:
+        """Adopt training view ``i``'s extrinsics + fov (reference:
+        set_camera_to_training_view, src/testbed.cu)."""
+        assert self._dataset is not None, "no training data"
+        self.camera_matrix = np.asarray(self._dataset.xforms[i], np.float32).copy()
+        intr = self._dataset.intrinsics[i]
+        H = float(intr.resolution[1])
+        self.fov_deg = float(np.degrees(2.0 * np.arctan(0.5 * H / float(intr.focal[1]))))
+
+    def first_training_view(self) -> None:
+        self.set_camera_to_training_view(0)
+
+    def get_camera_extrinsics(self, i: int, convention: str = "nerf") -> np.ndarray:
+        """Training-view pose, including any optimized deltas, in nerf
+        (transforms.json) or ngp convention."""
+        import jax.numpy as jnp
+
+        from nerfshop_tpu.data.nerf_loader import ngp_matrix_to_nerf
+        from nerfshop_tpu.ops import rays as rays_lib
+
+        assert self._dataset is not None
+        xf = np.asarray(self._dataset.xforms[i], np.float32)
+        params = self._state.params if self._state is not None else {}
+        if isinstance(params, dict) and "camera" in params:
+            cam = params["camera"]
+            xf = np.asarray(
+                rays_lib.apply_pose_delta(
+                    jnp.asarray(xf), cam["rot"][i], cam["trans"][i]
+                )
+            )
+        if convention == "ngp":
+            return xf
+        return ngp_matrix_to_nerf(xf, self._dataset.scale, self._dataset.offset)
+
+    def set_camera_extrinsics(self, i: int, mat: np.ndarray, convention: str = "nerf") -> None:
+        """Overwrite training view ``i``'s pose (host-side dataset + device copy)."""
+        from nerfshop_tpu.data.nerf_loader import nerf_matrix_to_ngp
+
+        assert self._dataset is not None
+        xf = np.asarray(mat, np.float32)
+        if convention == "nerf":
+            xf = nerf_matrix_to_ngp(xf, self._dataset.scale, self._dataset.offset)
+        self._dataset.xforms[i] = xf
+        if self._device_data is not None:
+            import jax.numpy as jnp
+
+            self._device_data = self._device_data._replace(
+                xforms=self._device_data.xforms.at[i].set(jnp.asarray(xf))
+            )
+
+    @property
+    def training_step(self) -> int:
+        return self.stats.step
+
+    @property
+    def sdf(self):
+        """SDF-mode namespace (reference testbed.sdf.*: analytic_normals,
+        fd_normals_epsilon, shadow_sharpness, brdf/sun_dir live on it)."""
+        assert self._sdf is not None, "SDF mode not initialized"
+        return self._sdf
+
+    @property
+    def brdf(self):
+        return self.sdf.brdf
+
+    @property
+    def sun_dir(self) -> np.ndarray:
+        return np.asarray(self.sdf.sun_dir, np.float32)
+
+    @sun_dir.setter
+    def sun_dir(self, d) -> None:
+        self.sdf.sun_dir = tuple(np.asarray(d, np.float32).tolist())
+
     def render(
         self,
         width: int,
@@ -527,9 +657,13 @@ class Testbed:
         principal: Optional[np.ndarray] = None,
         min_transmittance: Optional[float] = None,
         distortion: Optional[np.ndarray] = None,
+        lens: str = "pinhole",
+        ftheta_coeffs: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """→ [H, W, 4] float32 (sRGB-encoded unless ``linear``). Parity with
-        pyngp render/screenshot (scripts/run.py usage)."""
+        pyngp render/screenshot (scripts/run.py usage). ``lens`` selects the
+        camera projection: 'pinhole', 'ftheta' (fisheye, needs 5 polynomial
+        coeffs), or 'latlong' (360° equirectangular panorama)."""
         import jax
         import jax.numpy as jnp
 
@@ -590,6 +724,7 @@ class Testbed:
                 opts=opts, subpixel_jitter=jitter,
                 operators=tuple(self._edit_operators),
                 envmap=params.get("envmap") if isinstance(params, dict) else None,
+                lens=lens, ftheta_coeffs=ftheta_coeffs,
             )
             buf.accumulate(out.rgba, out.depth)
 
@@ -665,7 +800,7 @@ class Testbed:
         height: int,
         camera_matrix: Optional[np.ndarray] = None,
         focal: Optional[np.ndarray] = None,
-        base_resolution: int = 512,
+        base_resolution: int = 384,
         rebake: bool = False,
     ) -> np.ndarray:
         """Fixed-cost interactive frame from the baked volume (~tens of ms
@@ -958,12 +1093,56 @@ class Testbed:
         return mesh
 
     def compute_and_save_marching_cubes_mesh(
-        self, filename: str, resolution: int = 256, density_threshold: float = 2.5
+        self, filename: str, resolution: int = 256, density_threshold: float = 2.5,
+        optimize_steps: int = 0,
     ) -> None:
         from nerfshop_tpu.geometry import mesh_io
 
         mesh = self.compute_marching_cubes_mesh(resolution, density_threshold)
+        if optimize_steps > 0:
+            mesh = self.optimise_mesh(mesh, n_steps=optimize_steps, thresh=density_threshold)
         mesh_io.save_mesh(filename, mesh)
+
+    def optimise_mesh(self, mesh, n_steps: int = 100, thresh: float = 2.5,
+                      density_amount: float = 0.001, smooth_amount: float = 4.0,
+                      inflate_amount: float = 0.0):
+        """Refine extracted mesh vertices against the density iso-surface
+        (reference: optimise_mesh_step, testbed_nerf.cu:4470 — density +
+        smoothing + inflate gradients, Adam on a TrainableBuffer<3,1>)."""
+        import jax.numpy as jnp
+
+        from nerfshop_tpu.geometry import mesh_opt
+        from nerfshop_tpu.ops import coords
+
+        assert self.mode == TestbedMode.Nerf and self._model is not None
+        full = coords.BoundingBox.from_aabb_scale(self._train_cfg.aabb_scale)
+        params = self._inference_params()
+
+        def density_fn(pos):
+            return self._model.density(params, jnp.clip(coords.warp_position(pos, full), 0, 1))
+
+        return mesh_opt.optimize_mesh(
+            density_fn, mesh, n_steps=n_steps, thresh=thresh,
+            density_amount=density_amount, smooth_amount=smooth_amount,
+            inflate_amount=inflate_amount,
+        )
+
+    def compute_and_save_png_slices(
+        self, filename: str, resolution: int = 128, density_threshold: float = 2.5,
+    ) -> None:
+        """Dump the density grid as a sheet of z-slice PNG tiles (reference:
+        compute_and_save_png_slices, marching_cubes.cu save-slices path)."""
+        from nerfshop_tpu.data import image_io
+
+        field = self.get_density_on_grid(resolution)
+        occ = np.clip(field / max(density_threshold * 2.0, 1e-6), 0, 1)
+        n = int(np.ceil(np.sqrt(resolution)))
+        sheet = np.zeros((n * resolution, n * resolution), np.float32)
+        for z in range(resolution):
+            r, c = divmod(z, n)
+            sheet[r * resolution:(r + 1) * resolution, c * resolution:(c + 1) * resolution] = occ[:, :, z]
+        img = np.repeat(sheet[..., None], 3, axis=-1)
+        image_io.write_image(filename, img)
 
     # ------------------------------------------------------------------ metrics
 

@@ -48,6 +48,10 @@ class DeviceDataset(NamedTuple):
     #: per-image sharpness weight (mean-normalized variance of Laplacian;
     #: weights the error-map deposit like the reference's ×sharpness, T7)
     sharpness: Optional[jnp.ndarray] = None  # [N]
+    #: end-of-exposure poses + shutter vector for rolling-shutter /
+    #: motion-blur training (reference testbed_nerf.cu:1124)
+    xforms_end: Optional[jnp.ndarray] = None  # [N, 3, 4]
+    rolling_shutter: Optional[jnp.ndarray] = None  # [4]
 
     @staticmethod
     def from_dataset(ds) -> "DeviceDataset":
@@ -55,6 +59,9 @@ class DeviceDataset(NamedTuple):
         if getattr(ds, "sharpness", None) is not None:
             s = np.asarray(ds.sharpness, np.float32)
             sharp = jnp.asarray(s / max(float(s.mean()), 1e-9))
+        xf_end = getattr(ds, "xforms_end", None)
+        rs = np.asarray(getattr(ds, "rolling_shutter", np.zeros(4)), np.float32)
+        use_shutter = xf_end is not None and (rs != 0).any()
         return DeviceDataset(
             images=jnp.asarray(ds.images),
             xforms=jnp.asarray(ds.xforms),
@@ -62,6 +69,8 @@ class DeviceDataset(NamedTuple):
             principals=jnp.asarray(ds.principal_matrix()),
             distortions=jnp.asarray(ds.distortion_matrix()),
             sharpness=sharp,
+            xforms_end=jnp.asarray(xf_end) if use_shutter else None,
+            rolling_shutter=jnp.asarray(rs) if use_shutter else None,
         )
 
 
@@ -196,19 +205,24 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
     n_rays = n_rays or cfg.n_rays_per_batch
 
     def grads_of(params, grid: grid_lib.OccupancyGrid, data: DeviceDataset, rng: jax.Array, error_map=None):
-        k_rays, k_march, k_bg = jax.random.split(rng, 3)
+        k_rays, k_march, k_bg, k_shutter = jax.random.split(rng, 4)
         N, H, W = data.images.shape[:3]
         res = jnp.asarray([W, H], jnp.float32)
         img_idx, pix, targets = rays_lib.sample_training_pixels(
             k_rays, n_rays, data.images, error_map if cfg.use_error_map else None
         )
         cam0 = params.get("camera") if cfg.optimize_extrinsics else None
+        shutter = dict(
+            xforms_end=data.xforms_end, rolling_shutter=data.rolling_shutter,
+            rng=k_shutter,
+        ) if data.xforms_end is not None else {}
 
         # rays for MARCHING: current pose, gradients stopped (sample t's are
         # treated as fixed given the ray — same as the reference)
         bundle0 = rays_lib.rays_from_pixels(
             img_idx, pix, data.xforms, data.focals, data.principals, res,
             data.distortions, jax.lax.stop_gradient(cam0) if cam0 else None,
+            **shutter,
         )
         # march from the render near plane (0.05); the near-distance PENALTY
         # (not exclusion) handles [0.05, cfg.near_distance) — reference
@@ -230,7 +244,7 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
             if cam is not None:
                 bundle = rays_lib.rays_from_pixels(
                     img_idx, pix, data.xforms, data.focals, data.principals,
-                    res, data.distortions, cam,
+                    res, data.distortions, cam, **shutter,
                 )
             else:
                 bundle = bundle0

@@ -73,6 +73,15 @@ class SdfTestbed:
     zero_offset: float = 0.0029296875  # m_sdf.zero_offset analog: small inflate
     surface_offset_scale: float = 1.0
     bounding_radius: float = math.sqrt(3.0) / 2
+    #: shading knobs (reference: m_brdf / m_sun_dir / m_sdf.shadow_sharpness /
+    #: m_sdf.analytic_normals / m_sdf.fd_normals_epsilon / m_floor_enable)
+    brdf: object = None  # BrdfParams, set in create()
+    sun_dir: tuple = (0.577, 0.577, 0.577)
+    shadow_sharpness: float = 2048.0
+    render_shadows: bool = True
+    analytic_normals: bool = True
+    fd_normals_epsilon: float = 1e-3
+    floor_enable: bool = False
     _step_fn: object = None
     _trace_fn: object = None
 
@@ -88,7 +97,10 @@ class SdfTestbed:
         model = None
         if not needs_octree:
             model = SdfModel.from_config(config)
-        tb = SdfTestbed(model=model, spec=spec, state=None, loss_fn=loss_fn, rng=k2)
+        from nerfshop_tpu.ops.brdf import BrdfParams
+
+        tb = SdfTestbed(model=model, spec=spec, state=None, loss_fn=loss_fn, rng=k2,
+                        brdf=BrdfParams())
         if mesh is not None:
             tb.set_mesh(mesh)
         if needs_octree:
@@ -206,24 +218,103 @@ class SdfTestbed:
         hit = hit_box & (jnp.abs(d_final) < eps * 20) & (t < tmax)
         return t, pos, hit
 
+    def _normals(self, params, pos: jnp.ndarray) -> jnp.ndarray:
+        """Surface normals: autodiff ∇sdf (reference 'analytic normals' —
+        there via the network's input gradient) or central finite differences
+        with ``fd_normals_epsilon``."""
+        if self.analytic_normals:
+            g = jax.grad(lambda p: jnp.sum(self.model.apply(params, p)))(jnp.clip(pos, 0, 1))
+        else:
+            e = self.fd_normals_epsilon
+            g = jnp.stack(
+                [
+                    self.model.apply(params, jnp.clip(pos + jnp.asarray(off) * e, 0, 1))
+                    - self.model.apply(params, jnp.clip(pos - jnp.asarray(off) * e, 0, 1))
+                    for off in ((1.0, 0, 0), (0, 1.0, 0), (0, 0, 1.0))
+                ],
+                -1,
+            )
+        return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
+
+    def _shadow_trace(self, params, origins, dirs, k: float, n_iters: int = 40):
+        """Sphere-trace toward the light accumulating soft visibility
+        min(k·d/t) (the reference's shadow tracer with shadow_sharpness k,
+        testbed_sdf.cu:758 / min_visibility in advance_pos_kernel_sdf)."""
+        from nerfshop_tpu.ops.coords import BoundingBox
+
+        aabb = BoundingBox.unit()
+        _, tmax = aabb.ray_intersect(origins, dirs)
+
+        def body(i, s):
+            t, vis = s
+            pos = origins + t[:, None] * dirs
+            d = jnp.maximum(self.model.apply(params, jnp.clip(pos, 0, 1)), 0.0)
+            vis = jnp.minimum(vis, k * d / jnp.maximum(t, 1e-4))
+            t = jnp.minimum(t + jnp.maximum(d, 1e-3), tmax)
+            return (t, vis)
+
+        t0 = jnp.full(origins.shape[:1], 2e-3)
+        _, vis = jax.lax.fori_loop(0, n_iters, body, (t0, jnp.ones(origins.shape[:1])))
+        return jnp.clip(vis, 0.0, 1.0)
+
     def render(self, width: int, height: int, camera_matrix, focal, linear: bool = False) -> np.ndarray:
-        """Sphere-traced shading with autodiff normals + headlight diffuse
-        (the reference's default shading minus BRDF options)."""
+        """Sphere-traced Disney-BRDF shading with a sun light, soft sphere-
+        traced shadows, optional floor plane (reference render_sdf,
+        testbed_sdf.cu:825 + evaluate_shading:79)."""
         from nerfshop_tpu.ops import rays as rays_lib
         from nerfshop_tpu.ops import tonemap as tm
+        from nerfshop_tpu.ops.brdf import disney_shade
 
         params = self.state.inference_params
         bundle = rays_lib.rays_for_image(
             (width, height), jnp.asarray(camera_matrix), jnp.asarray(focal), jnp.asarray([0.5, 0.5])
         )
 
+        # shading knobs are compile-time constants of the trace program; re-jit
+        # when any changes (cheap: tiny program, and knob flips are rare)
+        knob_key = (
+            tuple(vars(self.brdf).items()) if hasattr(self.brdf, "__dict__") else id(self.brdf),
+            tuple(np.asarray(self.sun_dir, np.float32).tolist()),
+            self.shadow_sharpness, self.render_shadows,
+            self.analytic_normals, self.fd_normals_epsilon, self.floor_enable,
+        )
+        if getattr(self, "_trace_key", None) != knob_key:
+            self._trace_fn = None
+            self._trace_key = knob_key
         if self._trace_fn is None:
+            brdf = self.brdf
+            sun = np.asarray(self.sun_dir, np.float32)
+            sun = jnp.asarray(sun / (np.linalg.norm(sun) + 1e-12))
+            floor_y = 0.05
+
             def trace(params, o, d):
                 t, pos, hit = self._sphere_trace(params, o, d)
-                g = jax.grad(lambda p: jnp.sum(self.model.apply(params, p)))(jnp.clip(pos, 0, 1))
-                n = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
-                lambert = jnp.clip(-jnp.sum(n * d, -1), 0, 1)
-                rgb = (0.15 + 0.85 * lambert[:, None]) * jnp.asarray([[0.8, 0.75, 0.7]])
+                # analytic floor plane: closer plane hit wins / fills misses
+                if self.floor_enable:
+                    t_floor = (floor_y - o[:, 1]) / jnp.where(jnp.abs(d[:, 1]) < 1e-9, 1e-9, d[:, 1])
+                    floor_hit = (t_floor > 0) & (jnp.where(hit, t, jnp.inf) > t_floor)
+                    t = jnp.where(floor_hit, t_floor, t)
+                    pos = jnp.where(floor_hit[:, None], o + t[:, None] * d, pos)
+                    hit = hit | floor_hit
+                else:
+                    floor_hit = jnp.zeros_like(hit)
+                n = self._normals(params, pos)
+                n = jnp.where(floor_hit[:, None], jnp.asarray([0.0, 1.0, 0.0]), n)
+                vis = (
+                    self._shadow_trace(params, pos + n * 3e-3, jnp.broadcast_to(sun, pos.shape), self.shadow_sharpness)
+                    if self.render_shadows
+                    else jnp.ones(pos.shape[:1])
+                )
+                base = jnp.where(
+                    floor_hit[:, None],
+                    jnp.asarray([0.6, 0.6, 0.6]),
+                    jnp.broadcast_to(jnp.asarray(brdf.basecolor), pos.shape),
+                )
+                rgb = disney_shade(
+                    base, jnp.asarray(brdf.ambientcolor) * 0.25,
+                    jnp.asarray([1.0, 1.0, 1.0]) * vis[:, None],
+                    brdf, sun, -d, n,
+                )
                 rgb = jnp.where(hit[:, None], rgb, 0.0)
                 return rgb, hit, t
 

@@ -49,6 +49,21 @@ class ViewerServer:
             if cam is not None:
                 self.tb.camera_matrix = np.asarray(cam, np.float32)
             img = self.tb.render_dynamic(w, h, spp=spp)
+            # debug-draw overlays (E17: visualize_cameras / unit cube / cage,
+            # reference draw_selection_gl + debug draws, growing_selection.cu)
+            if req.get("visualize_cameras") or req.get("visualize_unit_cube") or req.get("visualize_cage"):
+                from nerfshop_tpu.viewer import overlay
+
+                tb_for_gs = self.tb
+                tb_for_gs._gs = self._gs  # expose the in-progress edit (may be None)
+                img = overlay.apply_overlays(
+                    np.asarray(img), tb_for_gs,
+                    np.asarray(self.tb.camera_matrix, np.float32),
+                    self.tb._focal_for(w, h),
+                    visualize_cameras=bool(req.get("visualize_cameras")),
+                    visualize_unit_cube=bool(req.get("visualize_unit_cube")),
+                    visualize_cage=bool(req.get("visualize_cage")),
+                )
         arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(arr, "RGBA").save(buf, "PNG")
