@@ -20,7 +20,12 @@ samples/s; we report field eval in extras for continuity).
 """
 
 import json
+import os
 import time
+
+# persistent jit cache: the driver may invoke bench.py without the env set;
+# reusing /root/.jax_cache skips minutes of remote recompiles per program
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_TRAIN_SAMPLES_PER_SEC = 8e6  # 2^18 batch × ~30 steps/s (3090, fox<5s)
 BASELINE_FIELD_EVAL = 1e9  # BASELINE.md north star

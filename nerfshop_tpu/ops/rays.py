@@ -185,12 +185,17 @@ def rays_for_image(
     subpixel_jitter: Optional[jnp.ndarray] = None,
     lens: str = "pinhole",
     ftheta_coeffs: Optional[jnp.ndarray] = None,
+    aperture: float = 0.0,
+    focus_z: float = 1.0,
+    dof_uv: Optional[jnp.ndarray] = None,  # [H*W, 2] unit-disc samples
 ) -> RayBundle:
     """All pixels of an image, row-major → origins/directions [H*W, 3].
 
     ``lens`` selects the projection: 'pinhole' (default, with optional
     Brown–Conrady distortion), 'ftheta' (fisheye polynomial, needs
-    ``ftheta_coeffs``), or 'latlong' (equirectangular panorama)."""
+    ``ftheta_coeffs``), or 'latlong' (equirectangular panorama).
+    ``aperture``/``focus_z``/``dof_uv`` enable depth-of-field sampling
+    (pinhole lens only)."""
     W, H = resolution
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij")
     pix = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)
@@ -201,7 +206,8 @@ def rays_for_image(
         if ftheta_coeffs is None:
             raise ValueError("lens='ftheta' requires ftheta_coeffs [5]")
         return ftheta_ray(pix, xform, principal, res, jnp.asarray(ftheta_coeffs), subpixel_jitter)
-    return pixel_to_ray(pix, xform, focal, principal, res, distortion, subpixel_jitter)
+    return pixel_to_ray(pix, xform, focal, principal, res, distortion, subpixel_jitter,
+                        aperture=aperture, focus_z=focus_z, dof_uv=dof_uv)
 
 
 def rodrigues(rotvec: jnp.ndarray) -> jnp.ndarray:

@@ -71,6 +71,13 @@ class RenderOptions:
     #: number of edit operators baked into the compiled chunk fn (operators
     #: themselves are traced arguments; only the count/type is static)
     n_edit_operators: int = 0
+    #: optional render crop box ((lo3), (hi3)) in world coords — marching is
+    #: clipped to it (reference: m_render_aabb, testbed.h / render crop GUI)
+    render_aabb: Optional[Tuple[Tuple[float, float, float], Tuple[float, float, float]]] = None
+    #: depth-of-field: lens aperture radius (world units) + focus distance
+    #: (reference: m_dof / m_scale-based focus, pixel_to_ray DoF sampling)
+    aperture: float = 0.0
+    focus_z: float = 1.0
 
 
 class FrameOutput(NamedTuple):
@@ -180,6 +187,14 @@ def _render_chunk(
     envmap: Optional[jnp.ndarray] = None,
 ):
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
+    # render crop: marching clipped to the crop box (reference m_render_aabb);
+    # field coords still warp by the FULL aabb so the network sees unchanged
+    # positions — the crop only bounds which t-window gets sampled
+    if opts.render_aabb is not None:
+        lo, hi = opts.render_aabb
+        march_box = coords.BoundingBox(jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32))
+    else:
+        march_box = aabb
     R = origins.shape[0]
     # one march with the FULL sample budget (k_samples × n_windows): the
     # two-stage march prices extra K slots at ~zero additional gathers, so
@@ -191,8 +206,8 @@ def _render_chunk(
         origins,
         directions,
         grid.occupancy,
-        aabb.min,
-        aabb.max,
+        march_box.min,
+        march_box.max,
         jnp.asarray(opts.cone_angle),
         t_start_min=NEAR_DISTANCE_RENDER,
         k_samples=K,
@@ -605,13 +620,15 @@ def _make_chunk_fn(model, opts: RenderOptions):
     return jax.jit(chunk_fn)
 
 
-def _make_rays_fn(resolution, lens: str = "pinhole"):
+def _make_rays_fn(resolution, lens: str = "pinhole", aperture: float = 0.0, focus_z: float = 1.0):
     W, H = resolution
 
-    def rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad, ftheta_coeffs=None):
+    def rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad,
+                ftheta_coeffs=None, dof_uv=None):
         bundle = rays_lib.rays_for_image(
             (W, H), xform, focal, principal, distortion, subpixel_jitter,
             lens=lens, ftheta_coeffs=ftheta_coeffs,
+            aperture=aperture, focus_z=focus_z, dof_uv=dof_uv,
         )
         origins = jnp.concatenate([bundle.origins, jnp.zeros((n_pad, 3))])
         dirs = jnp.concatenate(
@@ -643,6 +660,7 @@ def render_frame(
     envmap: Optional[jnp.ndarray] = None,
     lens: str = "pinhole",
     ftheta_coeffs: Optional[jnp.ndarray] = None,
+    dof_uv: Optional[jnp.ndarray] = None,  # [H*W, 2] unit-disc lens samples
 ) -> FrameOutput:
     """Render one frame, chunked over pixels; compiled chunk programs are
     cached so arbitrary resolutions reuse the same executable.
@@ -659,12 +677,15 @@ def render_frame(
     chunk = min(opts.chunk, n)
     n_pad = (-n) % chunk
 
-    rkey = (W, H, distortion is not None, subpixel_jitter is not None, lens)
+    rkey = (W, H, distortion is not None, subpixel_jitter is not None, lens,
+            opts.aperture, opts.focus_z, dof_uv is not None)
     rays_fn = _RAYS_FN_CACHE.get(rkey)
     if rays_fn is None:
-        rays_fn = _make_rays_fn((W, H), lens)
+        rays_fn = _make_rays_fn((W, H), lens, opts.aperture, opts.focus_z)
         _RAYS_FN_CACHE[rkey] = rays_fn
     fkw = {"ftheta_coeffs": jnp.asarray(ftheta_coeffs)} if lens == "ftheta" else {}
+    if dof_uv is not None:
+        fkw["dof_uv"] = dof_uv
     origins, dirs = rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad, **fkw)
 
     ckey = (id(model), opts, chunk, op_kinds, envmap is not None)

@@ -79,6 +79,17 @@ class Testbed:
         self.dynamic_res = True
         self.dynamic_res_target_fps = 20.0
         self.snap_to_pixel_centers = False
+        #: depth of field (reference m_dof: lens aperture; 0 = pinhole) and
+        #: focus distance; autofocus re-derives focus from center depth
+        self.dof = 0.0
+        self.focus_z = 1.0
+        self.autofocus = False
+        self.autofocus_target = np.array([0.5, 0.5], np.float32)  # screen uv
+        #: principal point (reference m_screen_center)
+        self.screen_center = np.array([0.5, 0.5], np.float32)
+        #: optional world-space render crop box (lo, hi) — reference
+        #: m_render_aabb crop
+        self.render_aabb = None
 
         # nerf namespace (property-tree parity: testbed.nerf.training.*)
         self.nerf = _Namespace(
@@ -687,7 +698,7 @@ class Testbed:
         assert self._model is not None, "no network"
         cam = camera_matrix if camera_matrix is not None else self.camera_matrix
         focal = focal if focal is not None else self._focal_for(width, height)
-        principal = principal if principal is not None else np.array([0.5, 0.5], np.float32)
+        principal = principal if principal is not None else np.asarray(self.screen_center, np.float32)
 
         # sample budget adapts to grid density: a dense grid (warm-up, real
         # outdoor scenes) needs a deep first-K budget to reach content, a
@@ -696,6 +707,20 @@ class Testbed:
         # grid)
         occ_frac = float(self._grid.occupancy.mean()) if self._grid is not None else 0.0
         k_render = 64 if occ_frac < 0.15 else 256
+        crop = None
+        if self.render_aabb is not None:
+            lo, hi = self.render_aabb
+            crop = (tuple(float(v) for v in lo), tuple(float(v) for v in hi))
+        focus = self.focus_z
+        if self.autofocus and getattr(self, "_last_depth", None) is not None:
+            # reference autofocus: focus distance from the depth under the
+            # autofocus target of the previous frame
+            d = self._last_depth
+            ty = int(np.clip(self.autofocus_target[1] * d.shape[0], 0, d.shape[0] - 1))
+            tx = int(np.clip(self.autofocus_target[0] * d.shape[1], 0, d.shape[1] - 1))
+            v = float(d[ty, tx])
+            if np.isfinite(v) and v > 1e-3:
+                focus = self.focus_z = v
         opts = renderer.RenderOptions(
             k_samples=k_render,
             n_windows=2,
@@ -705,6 +730,9 @@ class Testbed:
             min_transmittance=min_transmittance or self.nerf.render_min_transmittance,
             mode=self.render_mode,
             background=tuple(np.asarray(self.background_color, np.float32)),
+            render_aabb=crop,
+            aperture=float(self.dof),
+            focus_z=float(focus),
         )
         params = self._inference_params()
         dist = None
@@ -717,6 +745,13 @@ class Testbed:
             if spp > 1:
                 self._rng, k = jax.random.split(self._rng)
                 jitter = jax.random.uniform(k, (width * height, 2))
+            dof_uv = None
+            if self.dof > 0.0:
+                self._rng, k = jax.random.split(self._rng)
+                u = jax.random.uniform(k, (width * height, 2))
+                r = jnp.sqrt(u[:, 0:1])
+                th = 2.0 * jnp.pi * u[:, 1:2]
+                dof_uv = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], -1)
             out = renderer.render_frame(
                 self._model, params, self._grid,
                 (width, height), jnp.asarray(cam), jnp.asarray(focal),
@@ -724,9 +759,10 @@ class Testbed:
                 opts=opts, subpixel_jitter=jitter,
                 operators=tuple(self._edit_operators),
                 envmap=params.get("envmap") if isinstance(params, dict) else None,
-                lens=lens, ftheta_coeffs=ftheta_coeffs,
+                lens=lens, ftheta_coeffs=ftheta_coeffs, dof_uv=dof_uv,
             )
             buf.accumulate(out.rgba, out.depth)
+        self._last_depth = np.asarray(out.depth)
 
         srgb_space_model = (
             self._dataset is not None and self._dataset.color_space == "srgb"
