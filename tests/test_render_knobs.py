@@ -97,3 +97,36 @@ class TestScreenCenter:
         cen_a = (ca * xs).sum() / max(ca.sum(), 1e-6)
         cen_b = (cb * xs).sum() / max(cb.sum(), 1e-6)
         assert abs(cen_a - cen_b) > 1.0
+
+
+class TestTestbedLenses:
+    def test_latlong_and_ftheta_render(self, tmp_path):
+        from test_testbed import _write_tiny_scene, _tiny_nerf_config
+        from nerfshop_tpu.testbed import Testbed, TestbedMode
+
+        scene = _write_tiny_scene(tmp_path)
+        tb = Testbed(TestbedMode.Nerf, scene=str(scene), config=_tiny_nerf_config())
+        tb.train(8, batch_size=4096)
+        pin = tb.render(16, 12, spp=1)
+        pano = tb.render(16, 12, spp=1, lens="latlong")
+        fish = tb.render(16, 12, spp=1, lens="ftheta",
+                         ftheta_coeffs=np.asarray([0.0, 0.02, 0, 0, 0], np.float32))
+        for img in (pin, pano, fish):
+            assert img.shape == (12, 16, 4) and np.isfinite(img).all()
+        # the three projections see genuinely different images
+        assert np.abs(pin - pano).max() > 1e-3
+        assert np.abs(pin - fish).max() > 1e-3
+
+    def test_dof_blurs(self, tmp_path):
+        from test_testbed import _write_tiny_scene, _tiny_nerf_config
+        from nerfshop_tpu.testbed import Testbed, TestbedMode
+
+        scene = _write_tiny_scene(tmp_path)
+        tb = Testbed(TestbedMode.Nerf, scene=str(scene), config=_tiny_nerf_config())
+        tb.train(8, batch_size=4096)
+        sharp = tb.render(16, 12, spp=2)
+        tb.dof = 0.08
+        tb.focus_z = 2.5
+        blurred = tb.render(16, 12, spp=2)
+        assert np.isfinite(blurred).all()
+        assert np.abs(blurred - sharp).max() > 1e-4
