@@ -7,6 +7,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent compile cache: the e2e programs (grid update through the edit
+# operator stack, K=512 renders) take 2-3 MINUTES each to compile on XLA CPU
+# — the dominant suite cost. Caching makes re-runs start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 if os.environ.get("NERFSHOP_TEST_TPU", "0") != "1":
     # The axon sitecustomize force-registers the TPU backend and pins
     # JAX_PLATFORMS=axon; the env var alone is not enough — override via
