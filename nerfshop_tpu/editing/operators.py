@@ -95,16 +95,19 @@ def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray,
     cand = jnp.take(lut.cells, ci, axis=0)  # [N, MT]
     MT = cand.shape[1]
 
-    # Per-CANDIDATE loop with a running best, everything on [N]-shaped 1D /
-    # narrow-2D arrays. Earlier formulations materialized [N, MT, 3·3] or
-    # [N·MT, 12] intermediates; XLA tile-pads those 10-43× (measured 8 GB
-    # allocations at grid-refresh batch × fanout sizes). MT small unrolled
-    # gathers of [N, 12] rows keep every live tensor ≤ ~64 MB.
+    # Per-CANDIDATE fori_loop with a running best, everything on [N]-shaped
+    # 1D / narrow-2D arrays. Earlier formulations materialized [N, MT, 3·3]
+    # or [N·MT, 12] intermediates; XLA tile-pads those 10-43× (measured 8 GB
+    # allocations at grid-refresh batch × fanout sizes). A lax loop (not a
+    # python unroll) because MT can reach ~40 and the unrolled mega-fusion
+    # sent XLA-CPU's LLVM codegen superlinear — ONE op-stack grid-refresh
+    # program took >30 min to compile; the loop body compiles once. The
+    # running-max is a serial dependence, so unrolling bought no fusion.
     table = jnp.concatenate([v0, inv_e.reshape(-1, 9)], axis=1)  # [Nt, 12]
-    best_score = jnp.full((N,), -jnp.inf)
-    best_tet = jnp.zeros((N,), jnp.int32)
-    for c in range(MT):
-        tid = cand[:, c]
+
+    def body(c, carry):
+        best_score, best_tet = carry
+        tid = jax.lax.dynamic_index_in_dim(cand, c, axis=1, keepdims=False)
         rows = jnp.take(table, jnp.maximum(tid, 0), axis=0)  # [N, 12]
         db = p - rows[:, 0:3]
         w1 = jnp.sum(rows[:, 3:6] * db, axis=1)
@@ -114,8 +117,14 @@ def tet_lookup(lut: TetLut, v0: jnp.ndarray, inv_e: jnp.ndarray, p: jnp.ndarray,
         score = jnp.minimum(jnp.minimum(w0, w1), jnp.minimum(w2, w3))
         score = jnp.where((tid >= 0) & inb, score, -jnp.inf)
         take_it = score > best_score
-        best_score = jnp.where(take_it, score, best_score)
-        best_tet = jnp.where(take_it, jnp.maximum(tid, 0), best_tet)
+        return (
+            jnp.where(take_it, score, best_score),
+            jnp.where(take_it, jnp.maximum(tid, 0), best_tet),
+        )
+
+    best_score, best_tet = jax.lax.fori_loop(
+        0, MT, body, (jnp.full((N,), -jnp.inf), jnp.zeros((N,), jnp.int32))
+    )
 
     threshold = eps if eps > 0 else -near_miss
     found = best_score >= threshold
