@@ -50,21 +50,30 @@ print("occ frac", float(grid.occupancy.mean()))
 
 
 def timeit(name, fn, n=10):
+    # warm-up: compile + first exec outside the timed region
+    for i in range(2):
+        jax.block_until_ready(fn(i))
     outs = []
     t0 = time.perf_counter()
     for i in range(n):
-        outs.append(fn(i))
+        outs.append(fn(i + 2))
     for o in outs:
         jax.block_until_ready(o)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:28s} {dt*1e3:8.2f} ms")
+    print(f"{name:28s} {dt*1e3:8.2f} ms", flush=True)
     return dt
 
 
 keys = [jax.random.fold_in(key, i) for i in range(64)]
 
-# 1. full step
-t_full = timeit("full step", lambda i: step(state, grid, data, keys[i])[1]["loss"])
+# 1. full step — thread state (donated) through the chain
+_state_box = [state]
+def _full(i):
+    s, aux = step(_state_box[0], grid, data, keys[i])
+    _state_box[0] = s
+    return aux["loss"]
+t_full = timeit("full step", _full)
+state = _state_box[0]
 
 # 2. ray gen + march
 @jax.jit
@@ -113,3 +122,71 @@ def adam(state, rng):
 
 t_adam = timeit("adam apply", lambda i: adam(state, keys[i]).step)
 print("unaccounted (full - march - bwd - adam):", (t_full - t_march - t_bwd - t_adam) * 1e3, "ms")
+
+# --- encoding-level breakdown on a 2^18-point slab -------------------------
+N = batch
+enc = model.pos_encoding
+enc_params = state.params["pos_encoding"]
+
+@jax.jit
+def enc_fwd(p, rng):
+    x = jax.random.uniform(rng, (N, 3))
+    return enc.apply(p, x).sum()
+
+t_encf = timeit("enc fwd 2^18", lambda i: enc_fwd(enc_params, keys[i]))
+
+@jax.jit
+def enc_bwd(p, rng):
+    x = jax.random.uniform(rng, (N, 3))
+    return jax.grad(lambda pp: (enc.apply(pp, x) ** 2).sum())(p)["table"]
+
+t_encb = timeit("enc fwd+bwd 2^18", lambda i: enc_bwd(enc_params, keys[i]).sum())
+
+@jax.jit
+def brick_build(p, rng):
+    t = p["table"] + 1e-30 * jax.random.uniform(rng, ())
+    return [b.sum() for b in enc._brick_tables(t)]
+
+t_brk = timeit("brick table build", lambda i: brick_build(enc_params, keys[i])[0])
+
+from nerfshop_tpu.ops import table_ops
+
+lvl_sizes = enc.level_sizes
+L = enc.n_levels
+C = 1 << enc.n_input_dims
+w = C * enc.n_features_per_level
+
+@jax.jit
+def seg_grad(rng):
+    ks = jax.random.split(rng, 2)
+    idx = jnp.stack([
+        jax.random.randint(jax.random.fold_in(ks[0], l), (N,), 0, m) for l, m in enumerate(lvl_sizes)
+    ])
+    g = jax.random.uniform(ks[1], (L, N, w))
+    outs = table_ops.segment_table_grad(idx, g, lvl_sizes)
+    return sum(o.sum() for o in outs)
+
+t_seg = timeit("segment_table_grad", lambda i: seg_grad(keys[i]))
+
+@jax.jit
+def hist_only(rng):
+    acc = 0.0
+    for l, m in enumerate(lvl_sizes):
+        idx = jax.random.randint(jax.random.fold_in(rng, l), (N,), 0, m)
+        acc = acc + table_ops.exact_histogram(idx, m).sum()
+    return acc
+
+t_hist = timeit("exact_histogram x16", lambda i: hist_only(keys[i]))
+
+# MLP-only fwd+bwd on the same slab
+@jax.jit
+def mlp_bwd(p, rng):
+    x = jax.random.uniform(rng, (N, enc.n_output_dims))
+    d = jax.random.uniform(jax.random.fold_in(rng, 1), (N, 16))
+    def f(pp):
+        feats = model.density_mlp.apply(pp["density_mlp"], x)
+        rgb_in = jnp.concatenate([feats, d], -1)
+        return (model.rgb_mlp.apply(pp["rgb_mlp"], rgb_in) ** 2).sum()
+    return jax.grad(f)(p)["density_mlp"]["weights"][0]
+
+t_mlp = timeit("mlps fwd+bwd 2^18", lambda i: mlp_bwd(state.params, keys[i]).sum())
