@@ -77,16 +77,30 @@ def bench_train():
         key, k1 = jax.random.split(key)
         state, aux = step(state, grid, data, k1)
     grid = grid_update(grid, state.params, key, full_refresh=True)
-    jax.block_until_ready(aux["loss"])
+    float(np.asarray(aux["loss"]))
 
-    # chained steps: state threads through, each step a fresh rng
-    n = 12
+    # the shipped trainer runs 16 steps per device program (make_train_loop,
+    # the reference's steps-per-frame); per-step rng folds inside, the state
+    # is the scan carry — the relay can neither elide nor memoize steps.
+    # Timing: t(16-step program) − t(1-step program) cancels dispatch.
+    loops = {
+        n: jax.jit(nerf_train.make_train_loop(model, spec, cfg, n), donate_argnums=(0,))
+        for n in (1, 16)
+    }
+    key, k1, k2, k3, k4 = jax.random.split(key, 5)
+    state, ys = loops[16](state, grid, data, k1)  # warm/compile
+    float(np.asarray(ys["loss"])[-1])
+    state, ys = loops[1](state, grid, data, k2)
+    float(np.asarray(ys["loss"])[-1])
     t0 = time.perf_counter()
-    for i in range(n):
-        key, k1 = jax.random.split(key)
-        state, aux = step(state, grid, data, k1)
-    jax.block_until_ready(aux["loss"])
-    dt = (time.perf_counter() - t0) / n
+    state, ys = loops[1](state, grid, data, k3)
+    float(np.asarray(ys["loss"])[-1])
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, ys = loops[16](state, grid, data, k4)
+    float(np.asarray(ys["loss"])[-1])
+    t_16 = time.perf_counter() - t0
+    dt = (t_16 - t_one) / 15.0
     return batch / dt, 1.0 / dt
 
 
@@ -194,29 +208,40 @@ def bench_field_eval():
     params = model.init(jax.random.PRNGKey(0))
     n = 1 << 18
 
-    @jax.jit
-    def chained(params, pos, dirs):
-        rgb, sigma = model(params, pos, dirs)
-        # feed outputs back into the next eval's inputs — cannot be elided
-        pos2 = jnp.clip(pos + rgb * 1e-6, 0.0, 1.0)
-        rgb2, sigma2 = model(params, pos2, dirs)
-        return pos2, rgb2, sigma2
+    # IN-PROGRAM dependency chain (VERDICT r2 #2): K evals inside ONE
+    # executable via lax.fori_loop, each consuming the previous eval's
+    # outputs — the relay can neither elide nor memoize iterations, and
+    # per-dispatch tunnel latency cancels in the t(K) − t(1) difference.
+    def make_chain(iters):
+        @jax.jit
+        def chain(params, pos, dirs):
+            def body(i, carry):
+                p, acc = carry
+                rgb, sigma = model(params, p, dirs)
+                p2 = jnp.clip(p + rgb * 1e-6, 0.0, 1.0)
+                return p2, acc + jnp.sum(sigma) % 32.0
+
+            p, acc = jax.lax.fori_loop(0, iters, body, (pos, jnp.zeros(())))
+            return p[0, 0] + acc
+
+        return chain
 
     import numpy as np
 
     pos = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
     dirs = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
-    out = chained(params, pos, dirs)
-    jax.block_until_ready(out)
-    float(np.asarray(out[1][0, 0]))
-    iters = 4
+    c1, c32 = make_chain(1), make_chain(32)
+    float(np.asarray(c1(params, pos, dirs)))
+    float(np.asarray(c32(params, pos, dirs)))
+    pos2 = jax.random.uniform(jax.random.PRNGKey(3), (n, 3))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        pos, rgb, sigma = chained(params, pos, dirs)
-        # materialize to host each iteration: block_until_ready alone lets
-        # the serving runtime shortcut unconsumed chains
-        float(np.asarray(rgb[0, 0]))
-    dt = (time.perf_counter() - t0) / (iters * 2)  # 2 evals per call
+    float(np.asarray(c1(params, pos2, dirs)))
+    t_one = time.perf_counter() - t0
+    pos3 = jax.random.uniform(jax.random.PRNGKey(4), (n, 3))
+    t0 = time.perf_counter()
+    float(np.asarray(c32(params, pos3, dirs)))
+    t_32 = time.perf_counter() - t0
+    dt = (t_32 - t_one) / 31.0
     return n / dt
 
 

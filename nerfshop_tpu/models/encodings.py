@@ -129,8 +129,12 @@ class GridEncoding(Encoding):
                 self._brick_shifts.append(shifts)
             from nerfshop_tpu.ops import table_ops
 
-            self._brick_gather = table_ops.make_level_gather(
-                self.level_sizes, (1 << D) * self.n_features_per_level
+            self._brick_encode = table_ops.make_brick_encode(
+                self.level_sizes,
+                self.level_offsets,
+                self._brick_shifts,
+                self.n_features_per_level,
+                D,
             )
 
     @property
@@ -248,16 +252,15 @@ class GridEncoding(Encoding):
             blocks.append(jnp.concatenate(cols, axis=1))
         return blocks
 
-    def _brick_indices(self, x: jnp.ndarray):
-        """x [N, D] → (base slot idx [L, N], corner weights [L, N, 2^D]).
+    def _brick_fracs(self, x: jnp.ndarray):
+        """x [N, D] → (base slot idx [L, N], folded lerp fracs [L, N, D]).
 
-        Boundary clamp is folded into the weights: when p0_d == res−1 the
+        Boundary clamp is folded into the fracs: when p0_d == res−1 the
         +1 corner on axis d aliases p0_d in the reference's clamped indexing,
         so that axis's lerp weight collapses to the base corner — identical
         math, no index clamping needed."""
         D = self.n_input_dims
-        N = x.shape[0]
-        idxs, weights = [], []
+        idxs, fracs = [], []
         for l in range(self.n_levels):
             res = self.level_res[l]
             m = self.level_sizes[l]
@@ -278,15 +281,15 @@ class GridEncoding(Encoding):
                     base = base + cu[:, d] * jnp.uint32(_HASH_PRIMES[d])
                 base = base & np.uint32(m - 1)
             idxs.append(base.astype(jnp.int32))
-            offs = jnp.asarray(
-                np.stack([[(c >> d) & 1 for d in range(D)] for c in range(1 << D)]),
-                x.dtype,
-            )  # [C, D]
-            wc = jnp.prod(
-                jnp.where(offs[None] == 1, w1[:, None, :], 1.0 - w1[:, None, :]), axis=-1
-            )  # [N, C]
-            weights.append(wc)
-        return jnp.stack(idxs), jnp.stack(weights)
+            fracs.append(w1)
+        return jnp.stack(idxs), jnp.stack(fracs)
+
+    def _brick_indices(self, x: jnp.ndarray):
+        """x [N, D] → (base slot idx [L, N], corner weights [L, N, 2^D])."""
+        from nerfshop_tpu.ops import table_ops
+
+        idx, w1 = self._brick_fracs(x)
+        return idx, table_ops.corner_products(w1)
 
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, D] in [0,1] → [N, L·F].
@@ -297,13 +300,12 @@ class GridEncoding(Encoding):
         table = params["table"]
         F = self.n_features_per_level
         if self.layout == "brick":
-            C = 1 << self.n_input_dims
-            B = self._brick_tables(table)
-            idx, w = self._brick_indices(x)  # [L, N], [L, N, C]
-            feats = self._brick_gather(B, idx)  # [L, N, C·F]
+            from nerfshop_tpu.ops import table_ops
+
+            idx, w1 = self._brick_fracs(x)  # [L, N], [L, N, D]
+            w8 = table_ops.corner_products(w1)  # [L, N, 2^D]
+            out = self._brick_encode(table, idx, w8, w1)  # [L, N, F]
             L, N = idx.shape
-            feats = feats.reshape(L, N, C, F)
-            out = jnp.einsum("lnc,lncf->lnf", w.astype(feats.dtype), feats)
             return out.transpose(1, 0, 2).reshape(N, self.n_output_dims)
         if self.layout == "paired":
             # doubled table: row i = (canon[i], canon[i+1]) → one row-gather

@@ -309,8 +309,13 @@ class Testbed:
                     )
                     self.nerf.training.error_map.is_cdf_valid = True
 
+            # chunked in-program loop: up to 16 steps per device program
+            # (grid refresh stays on its every-16-step schedule between
+            # chunks; reference trains 16 steps/frame, src/testbed.cu:1749)
             loss = 0.0
-            for _ in range(n_steps):
+            remaining = n_steps
+            losses_np = None
+            while remaining > 0:
                 self._rng, k1, k2 = jax.random.split(self._rng, 3)
                 step = self.stats.step
                 if step % 16 == 0:
@@ -319,14 +324,25 @@ class Testbed:
                         self._grid, self._state.params, k2, full_refresh=step < 256
                     )
                     self.stats.training_prep_ms = (time.perf_counter() - t0) * 1e3
+                chunk = min(remaining, 16 - step % 16)
+                loop_fn = self._get_loop_fn(chunk)
                 if self._train_cfg.use_error_map:
-                    self._state, aux, self._error_map = self._step_fn(
+                    self._state, ys, self._error_map = loop_fn(
                         self._state, self._grid, self._device_data, k1, self._error_map
                     )
                 else:
-                    self._state, aux = self._step_fn(self._state, self._grid, self._device_data, k1)
-                self.stats.step += 1
+                    self._state, ys = loop_fn(self._state, self._grid, self._device_data, k1)
+                self.stats.step += chunk
+                remaining -= chunk
+            losses_np = np.asarray(ys["loss"])
+            aux = {
+                "loss": losses_np[-1],
+                "measured_samples": np.asarray(ys["measured_samples"])[-1],
+                "sample_overflow_frac": float(np.asarray(ys["sample_overflow_frac"]).mean()),
+            }
             loss = float(aux["loss"])
+            for i, lv in enumerate(losses_np):
+                self.loss_history.append((self.stats.step - len(losses_np) + 1 + i, float(lv)))
             # degenerate-training guards (reference: "generated 0 samples.
             # Aborting training.", testbed_nerf.cu:3770; plus a NaN guard)
             if int(aux["measured_samples"]) == 0:
@@ -339,7 +355,6 @@ class Testbed:
                 self.shall_train = False
                 raise RuntimeError(f"non-finite training loss at step {self.stats.step}")
             self.stats.loss = loss
-            self.loss_history.append((self.stats.step, loss))
             del self.loss_history[:-512]
             self.stats.measured_batch_size = int(aux["measured_samples"])
             # bucket adjustment: if most rays fill their K budget the march
@@ -438,6 +453,23 @@ class Testbed:
 
         return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self._state.params))
 
+    def _get_loop_fn(self, chunk: int):
+        """Jitted ``chunk``-step in-program training loop (train/nerf.py
+        make_train_loop), cached per chunk length for the current bucket."""
+        import jax
+
+        from nerfshop_tpu.train import nerf as nerf_train
+
+        fn = self._loop_fns.get(chunk)
+        if fn is None:
+            donate = (0, 4) if self._train_cfg.use_error_map else (0,)
+            fn = jax.jit(
+                nerf_train.make_train_loop(self._model, self._spec, self._train_cfg, chunk),
+                donate_argnums=donate,
+            )
+            self._loop_fns[chunk] = fn
+        return fn
+
     def _build_step_fn(self, n_rays: int, k_samples: int = None) -> None:
         """(Re)compile the train step for a (rays, K) bucket."""
         import jax
@@ -456,6 +488,7 @@ class Testbed:
             nerf_train.make_train_step(self._model, self._spec, self._train_cfg),
             donate_argnums=(0,),
         )
+        self._loop_fns = {}  # chunk length → jitted in-program scan loop
         mask = None
         ds = self._dataset
         usable = (
@@ -808,7 +841,7 @@ class Testbed:
 
     # ------------------------------------------------- interactive fast path
 
-    def bake_interactive(self, resolution: int = 256) -> None:
+    def bake_interactive(self, resolution: Optional[int] = None) -> None:
         """Bake the current (edited) field into a dense grid for the
         shear-warp interactive renderer (render/baked.py — the TPU-native
         replacement for the reference's CUDA-eval + DLSS interactivity)."""
@@ -816,6 +849,8 @@ class Testbed:
         from nerfshop_tpu.render import baked as baked_lib
 
         assert self._model is not None, "no network"
+        if resolution is None:
+            resolution = getattr(self, "interactive_bake_resolution", 256)
         aabb = coords.BoundingBox.from_aabb_scale(
             self._train_cfg.aabb_scale if self._train_cfg else 1
         )

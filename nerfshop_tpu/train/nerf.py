@@ -334,6 +334,59 @@ def make_train_step(
     return step
 
 
+def make_train_loop(
+    model: NerfNetwork,
+    spec: optim.OptimizerSpec,
+    cfg: NerfTrainConfig,
+    n_steps: int,
+):
+    """``n_steps`` train steps inside ONE jitted program (lax.scan).
+
+    The reference runs 16 steps per frame (src/testbed.cu:1749); here a
+    whole 16-step group is one device program — per-step host dispatch
+    (tens of ms through a serving tunnel, and host Python on a 1-core box)
+    disappears from the training loop. Per-step rng = fold_in(rng, i).
+
+    Returns (state, grid, data, rng[, error_map]) →
+    (state, ys[, error_map]) where ``ys`` stacks per-step scalars
+    (loss, measured_samples, sample_overflow_frac, mean_opacity) [n_steps].
+    """
+    step = make_train_step(model, spec, cfg)
+
+    def _ys(aux):
+        return {
+            "loss": aux["loss"],
+            "measured_samples": aux["measured_samples"],
+            "sample_overflow_frac": aux["sample_overflow_frac"],
+            "mean_opacity": aux["mean_opacity"],
+        }
+
+    if cfg.use_error_map:
+
+        def loop_em(state, grid, data, rng, error_map):
+            def body(carry, i):
+                st, em = carry
+                st, aux, em = step(st, grid, data, jax.random.fold_in(rng, i), em)
+                return (st, em), _ys(aux)
+
+            (state, error_map), ys = jax.lax.scan(
+                body, (state, error_map), jnp.arange(n_steps)
+            )
+            return state, ys, error_map
+
+        return loop_em
+
+    def loop(state, grid, data, rng):
+        def body(st, i):
+            st, aux = step(st, grid, data, jax.random.fold_in(rng, i))
+            return st, _ys(aux)
+
+        state, ys = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return state, ys
+
+    return loop
+
+
 def make_density_fn(model: NerfNetwork, params, aabb: coords.BoundingBox, operators: tuple = ()):
     """WORLD positions [N,3] → activated density (for the occupancy grid).
 

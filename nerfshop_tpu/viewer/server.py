@@ -21,6 +21,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -30,11 +31,13 @@ _STATIC = Path(__file__).parent / "static"
 
 
 class ViewerServer:
-    def __init__(self, testbed, port: int = 8080):
+    def __init__(self, testbed, port: int = 8080, bake_resolution: int = 256):
         self.tb = testbed
+        self.tb.interactive_bake_resolution = bake_resolution
         self.port = port
         self._lock = threading.Lock()  # one device user at a time
         self._gs = None  # GrowingSelection in progress
+        self.last_rebake_s = None  # edit/train → rebake latency (seconds)
 
     # ------------------------------------------------------------- handlers
 
@@ -45,10 +48,23 @@ class ViewerServer:
         h = int(req.get("height", 180))
         spp = int(req.get("spp", 1))
         cam = req.get("camera")
+        # default: the baked shear-warp interactive path (~fixed-cost frames
+        # at 1080p; auto-rebakes when training stepped or the edit stack
+        # changed — VERDICT r2 #3). "exact": true falls back to the
+        # per-sample tiled renderer (the eval-quality path).
+        exact = bool(req.get("exact", False))
         with self._lock:
             if cam is not None:
                 self.tb.camera_matrix = np.asarray(cam, np.float32)
-            img = self.tb.render_dynamic(w, h, spp=spp)
+            if exact or self.tb._state is None:
+                img = self.tb.render_dynamic(w, h, spp=spp)
+            else:
+                t0 = time.perf_counter()
+                key = (self.tb.stats.step, len(self.tb.edit_operators))
+                rebaked = getattr(self.tb, "_baked_key", None) != key
+                img = self.tb.render_interactive(w, h)
+                if rebaked:
+                    self.last_rebake_s = time.perf_counter() - t0
             # debug-draw overlays (E17: visualize_cameras / unit cube / cage,
             # reference draw_selection_gl + debug draws, growing_selection.cu)
             if req.get("visualize_cameras") or req.get("visualize_unit_cube") or req.get("visualize_cage"):
@@ -82,6 +98,7 @@ class ViewerServer:
             "loss": self.tb.stats.loss,
             "n_operators": len(self.tb.edit_operators),
             "edit_stage": None if self._gs is None else self._gs.stage.name,
+            "last_rebake_s": self.last_rebake_s,
         }
 
     def edit(self, verb: str, req: dict) -> dict:

@@ -30,6 +30,9 @@ keys = [jax.random.fold_in(key, i) for i in range(64)]
 
 
 def timeit(name, fn, n=8):
+    # NOTE: all n calls dispatch async and block once at the end — per-op ms
+    # is pipelined THROUGHPUT, not latency; compare ops against each other
+    # here, not against profile_train's dependency-chained full-step number.
     for i in range(2):
         jax.block_until_ready(fn(i))
     outs = []
@@ -191,6 +194,7 @@ def p_einsum_bwd(rng):
     feats = jax.random.uniform(jax.random.fold_in(rng, 1), (L, N, C, F))
     def f(wgt, feats):
         return jnp.einsum("lnc,lncf->lnf", wgt, feats).sum()
-    return sum(jax.tree.leaves(jax.grad(f, argnums=(0, 1))(wgt, feats))[0].sum() for _ in range(1))
+    # keep BOTH grad outputs live so neither backward matmul is DCE'd
+    return sum(l.sum() for l in jax.tree.leaves(jax.grad(f, argnums=(0, 1))(wgt, feats)))
 
 timeit("einsum lncf bwd", p_einsum_bwd)

@@ -187,6 +187,10 @@ def mlp_bwd(p, rng):
         feats = model.density_mlp.apply(pp["density_mlp"], x)
         rgb_in = jnp.concatenate([feats, d], -1)
         return (model.rgb_mlp.apply(pp["rgb_mlp"], rgb_in) ** 2).sum()
-    return jax.grad(f)(p)["density_mlp"]["weights"][0]
+    g = jax.grad(f)(p)
+    # keep EVERY weight-grad leaf live so no backward matmul is DCE'd
+    return sum(w.sum() for w in g["density_mlp"]["weights"]) + sum(
+        w.sum() for w in g["rgb_mlp"]["weights"]
+    )
 
-t_mlp = timeit("mlps fwd+bwd 2^18", lambda i: mlp_bwd(state.params, keys[i]).sum())
+t_mlp = timeit("mlps fwd+bwd 2^18", lambda i: mlp_bwd(state.params, keys[i]))

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""End-to-end real-scene edit + distill demo (BASELINE configs 4-5).
+
+Drives the full NeRFshop pipeline headlessly on a real scene (fox by
+default): train → scribble-project → region grow → proxy cage → tet cage →
+translate → membrane → edited renders → distill → distilled-vs-edited PSNR.
+Reference flow: growing_selection.cu:119-432 (GUI pipeline) +
+train_nerf_step_distill (src/testbed_nerf.cu:3918-4209).
+
+Emits ONE JSON line with the numbers + writes screenshots.
+
+  # real chip
+  PYTHONPATH=/root/.axon_site:/root/repo JAX_COMPILATION_CACHE_DIR=/root/.jax_cache \
+    python -u scripts/edit_demo.py --out scratch/edit_demo
+  # CPU smoke (tiny steps)
+  JAX_PLATFORMS=cpu python scripts/edit_demo.py --scene /tmp/verify_scene \
+    --train_steps 200 --distill_steps 100 --downscale 1 --out /tmp/edit_demo
+"""
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="/root/reference/data/nerf/fox")
+    ap.add_argument("--snapshot", default="", help="load instead of training")
+    ap.add_argument("--train_steps", type=int, default=2000)
+    ap.add_argument("--distill_steps", type=int, default=1500)
+    ap.add_argument("--batch_size", type=int, default=1 << 18)
+    ap.add_argument("--downscale", type=int, default=4, help="eval/render downscale")
+    ap.add_argument("--offset", type=float, nargs=3, default=(0.35, 0.0, 0.0))
+    ap.add_argument("--view", type=int, default=0, help="scribble/eval view index")
+    ap.add_argument("--out", default="scratch/edit_demo")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from nerfshop_tpu import Testbed, TestbedMode
+    from nerfshop_tpu.data import image_io, nerf_loader
+    from nerfshop_tpu.editing import poisson as poisson_lib
+    from nerfshop_tpu.ops import coords, rays as rays_lib
+    from nerfshop_tpu.render import renderer
+    from nerfshop_tpu.train import distill as distill_lib
+    from nerfshop_tpu.train import nerf as nerf_train
+    from nerfshop_tpu.utils import metrics
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    t_all = time.perf_counter()
+
+    # ---- 1. train (or load) the scene --------------------------------------
+    tb = Testbed(TestbedMode.Nerf)
+    if args.snapshot and os.path.exists(args.snapshot):
+        tb.load_snapshot(args.snapshot)
+        tb.load_training_data(args.scene)
+    else:
+        tb.load_training_data(args.scene)
+        t0 = time.perf_counter()
+        done = 0
+        while done < args.train_steps:
+            n = min(256, args.train_steps - done)
+            loss = tb.train(n, args.batch_size)
+            done += n
+            print(f"  step {done:6d}  loss {loss:.6f}", flush=True)
+        train_s = time.perf_counter() - t0
+        print(f"trained {args.train_steps} steps in {train_s:.1f}s", flush=True)
+
+    aabb = coords.BoundingBox.from_aabb_scale(tb._train_cfg.aabb_scale)
+    tf = os.path.join(args.scene, "transforms.json")
+    if not os.path.exists(tf):
+        tf = args.scene
+    ds = nerf_loader.load_nerf(tf, downscale=args.downscale)
+    view = min(args.view, len(ds.xforms) - 1)
+    gt = np.asarray(ds.images[view])
+    H, W = gt.shape[:2]
+    intr = ds.intrinsics[view]
+    xf = jnp.asarray(ds.xforms[view])
+
+    def render_view(operators, label):
+        opts = renderer.RenderOptions(
+            aabb_scale=tb._train_cfg.aabb_scale, cone_angle=tb._train_cfg.cone_angle,
+            min_transmittance=1e-4, k_samples=64, n_windows=2,
+        )
+        out = renderer.render_frame(
+            tb._model, tb._state.inference_params, tb._grid, (W, H),
+            xf, jnp.asarray(intr.focal), jnp.asarray(intr.principal),
+            opts=opts, operators=tuple(operators),
+        )
+        img = np.asarray(out.rgba)
+        image_io.write_image(str(out_dir / f"{label}.png"), img, linear_input=False)
+        return img
+
+    img_before = render_view((), "1_before")
+    psnr_clean = float(metrics.psnr(img_before[..., :3], gt[..., :3] * gt[..., 3:4]))
+    print(f"clean render vs GT: {psnr_clean:.2f} dB", flush=True)
+
+    # ---- 2. scribble-project → grow → cage ---------------------------------
+    # scribble: a disc of pixels at the image center of the chosen view
+    gs = tb.begin_cage_edit()
+    uv = []
+    for dy in range(-6, 7, 2):
+        for dx in range(-6, 7, 2):
+            if dx * dx + dy * dy <= 36:
+                uv.append([W / 2 + dx * W / 64, H / 2 + dy * H / 64])
+    uv = jnp.asarray(np.asarray(uv, np.float32))
+    bundle = rays_lib.pixel_to_ray(
+        uv, xf, jnp.asarray(intr.focal), jnp.asarray(intr.principal),
+        jnp.asarray([W, H], jnp.float32),
+    )
+    hits = gs.project(
+        tb._state.inference_params, tb._grid,
+        np.asarray(bundle.origins), np.asarray(bundle.directions),
+    )
+    print(f"scribble projection: {hits} hits", flush=True)
+    grown = gs.grow_region(tb._grid, 9000)
+    print(f"region grow: {grown} cells", flush=True)
+    gs.compute_proxy()
+    gs.extract_cage()
+    print(f"cage: {len(gs.cage.vertices_original)} verts, "
+          f"{len(gs.tet_mesh.tets)} tets", flush=True)
+
+    # ---- 3. translate + membrane → operator --------------------------------
+    t0 = time.perf_counter()
+    gs.translate_cage(np.asarray(args.offset, np.float32))
+    op = gs.make_operator()
+    lut_s = time.perf_counter() - t0
+    membrane = poisson_lib.compute_membrane(
+        tb._model, tb._state.inference_params, gs.cage, gs.tet_mesh, aabb,
+        jax.random.PRNGKey(5),
+    )
+    op = op._replace(membrane=membrane)
+    tb.add_edit_operator(op)
+    print(f"operator built in {lut_s*1e3:.0f} ms (LUT) + membrane", flush=True)
+
+    img_edited = render_view(tuple(tb.edit_operators), "2_edited")
+    edited_opacity = float(img_edited[..., 3].mean())
+
+    # ---- 4. distill the edited field into a fresh student ------------------
+    data = nerf_train.DeviceDataset.from_dataset(tb._dataset)
+    tb.refresh_grid_for_edits()
+    t0 = time.perf_counter()
+    student = distill_lib.distill(
+        tb._model, tb._state.inference_params, tuple(tb.edit_operators),
+        data, tb._grid, jax.random.PRNGKey(7), n_steps=args.distill_steps,
+    )
+    distill_s = time.perf_counter() - t0
+
+    # swap the student in, drop operators, render
+    teacher_state = tb._state
+    tb._state = student
+    tb._edit_operators.clear()
+    tb.refresh_grid_for_edits()
+    img_distilled = render_view((), "3_distilled")
+    tb._state = teacher_state
+
+    m = np.isfinite(img_edited[..., 0])
+    psnr_distill = float(metrics.psnr(img_distilled[..., :3], img_edited[..., :3]))
+    result = {
+        "metric": "edit_demo",
+        "scene": args.scene,
+        "clean_psnr_vs_gt_db": round(psnr_clean, 2),
+        "distilled_vs_edited_psnr_db": round(psnr_distill, 2),
+        "edited_opacity": round(edited_opacity, 4),
+        "cage_verts": int(len(gs.cage.vertices_original)),
+        "tets": int(len(gs.tet_mesh.tets)),
+        "lut_build_seconds": round(lut_s, 3),
+        "distill_seconds": round(distill_s, 1),
+        "total_seconds": round(time.perf_counter() - t_all, 1),
+        "screenshots": str(out_dir),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

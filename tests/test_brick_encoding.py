@@ -123,3 +123,68 @@ def test_brick_position_gradient():
     g = jax.grad(f)(jnp.asarray([0.4, 0.5, 0.6]))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_brick_encode_pipeline_matches_autodiff():
+    """The TPU backward (force_segment: one-hot-matmul small levels + the
+    payload-sort pipeline on large levels) against native autodiff of the
+    reference forward — values AND all three cotangents."""
+    from nerfshop_tpu.ops import table_ops
+
+    enc = _mk("brick", n_levels=3, base_resolution=8, per_level_scale=3.1,
+              log2_hashmap_size=10)
+    # level 2 must be hashed so the sort branch runs; force a tiny matmul_max
+    # so level 1 exercises the matmul branch too
+    assert not enc.level_dense[-1]
+    pipe = table_ops.make_brick_encode(
+        enc.level_sizes, enc.level_offsets, enc._brick_shifts,
+        enc.n_features_per_level, enc.n_input_dims,
+        force_segment=True, matmul_max=enc.level_sizes[0],
+    )
+    ref = table_ops.make_brick_encode(
+        enc.level_sizes, enc.level_offsets, enc._brick_shifts,
+        enc.n_features_per_level, enc.n_input_dims,
+    )
+    params = enc.init(jax.random.PRNGKey(0))
+    table = params["table"]
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1000, 3))
+    idx, w1 = enc._brick_fracs(x)
+    w8 = table_ops.corner_products(w1)
+
+    out_p = pipe(table, idx, w8, w1)
+    out_r = ref(table, idx, w8, w1)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        def f(t, w8_):
+            return jnp.sum(jnp.sin(3.0 * fn(t, idx, w8_, w1)))
+        return f
+
+    gt_p, gw_p = jax.grad(loss(pipe), argnums=(0, 1))(table, w8)
+    gt_r, gw_r = jax.grad(loss(ref), argnums=(0, 1))(table, w8)
+    # table grad: small levels go through a 2-term bf16 matmul (~2^-16 rel),
+    # large levels are f32-exact modulo prefix-sum differencing
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_r), rtol=2e-3, atol=2e-4)
+    # w8 grad: forward features saved in bf16
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-2, atol=2e-3)
+
+
+def test_brick_encode_packed_forward_matches_unpacked():
+    """Packed [m/P, 128] forward equals the plain rolled-brick gather."""
+    from nerfshop_tpu.ops import table_ops
+
+    enc = _mk("brick", n_levels=2, base_resolution=16, log2_hashmap_size=9)
+    params = enc.init(jax.random.PRNGKey(1))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (500, 3))
+    out = enc.apply(params, x)
+    # manual unpacked evaluation through the derived brick tables
+    idx, w = enc._brick_indices(x)
+    bricks = enc._brick_tables(params["table"])
+    F = enc.n_features_per_level
+    C = 1 << enc.n_input_dims
+    expect = []
+    for l in range(enc.n_levels):
+        feats = jnp.take(bricks[l], idx[l], axis=0).reshape(-1, C, F)
+        expect.append(jnp.einsum("nc,ncf->nf", w[l], feats))
+    expect = jnp.stack(expect).transpose(1, 0, 2).reshape(x.shape[0], -1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5, atol=1e-6)

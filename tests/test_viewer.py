@@ -20,7 +20,9 @@ def viewer():
     tb = Testbed(TestbedMode.Nerf)
     tb.load_training_data("/tmp/verify_scene")
     tb.train(60, 8192)
-    srv = ViewerServer(tb, port=18731)
+    # tiny bake: the default /render path is the baked interactive renderer;
+    # 32³ keeps the CPU-suite bake cost negligible while exercising it
+    srv = ViewerServer(tb, port=18731, bake_resolution=32)
     httpd = srv.start_background()
     yield "http://127.0.0.1:18731"
     httpd.shutdown()
