@@ -196,7 +196,7 @@ class TetMesh:
 
     # --------------------------------------------------------------- LUT build
 
-    def _voxelize(self, verts: np.ndarray, res: int, max_t: int):
+    def _voxelize(self, verts: np.ndarray, res: int, max_t: int, use_native: bool = True):
         """Conservative voxelization into a local grid: tet-bbox overlap
         REFINED by the tet's four face planes (a cell entirely outside any
         outward face plane, beyond the 1-cell near-miss margin, cannot
@@ -213,6 +213,29 @@ class TetMesh:
         hi = tv.max((0, 1)) + 1e-4
         inv_cell = res / np.maximum(hi - lo, 1e-9)
         cell_size = 1.0 / inv_cell
+
+        # native multithreaded kernel (host_ops.cpp voxelize_tets — same
+        # face-plane refinement + margin arithmetic as the numpy path below,
+        # deterministic ascending per-cell order; the reference rebuilds its
+        # LUT per gizmo drag on 32 threads, tet_mesh.cu:369). Python stays
+        # as the fallback and the equivalence oracle (tests/test_native.py).
+        from nerfshop_tpu import native as native_lib
+
+        out = None if not use_native else native_lib.voxelize_tets(
+            np.ascontiguousarray(verts, np.float32),
+            np.ascontiguousarray(self.tets, np.int32),
+            res,
+            lo.astype(np.float32),
+            inv_cell.astype(np.float32),
+            max_t,
+        )
+        if out is not None:
+            cells, max_seen = out
+            # trim to the observed fanout like the python path: the warp's
+            # candidate loop is bounded by the LUT width
+            mt = min(max(max_seen, 1), max_t)
+            cells = np.ascontiguousarray(cells[:, :mt])
+            return lo.astype(np.float32), inv_cell.astype(np.float32), cells, max_seen
 
         # outward face normals: face f is opposite vertex f
         faces = np.array([[1, 2, 3], [0, 3, 2], [0, 1, 3], [0, 2, 1]])

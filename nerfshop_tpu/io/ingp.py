@@ -121,6 +121,74 @@ def unpack_params(model, blob: np.ndarray, params_template) -> dict:
     return out
 
 
+def rebake_plain_table(model, params, rng=None, n_steps: int = 300, batch: int = 1 << 14, lr: float = 5e-2):
+    """Re-bake a brick/paired-layout grid table into tcnn 'plain' order
+    (xor-hash, align-8 — src/testbed.cu:3118-3183 blob layout).
+
+    Dense levels copy EXACTLY (dense indexing is identical across layouts).
+    Hash levels cannot be converted exactly — additive (brick) and xor
+    (tcnn) hashing induce different collision sets — so their plain table
+    is the least-squares fit of the brick encoding's output field (the
+    encoding is LINEAR in the table, so this is a convex fit; Adam on
+    sampled positions converges in a few hundred steps).
+
+    → (plain_encoding, plain_table jnp [Tp, F], final_mse float)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nerfshop_tpu.models import encodings as enc_lib
+
+    enc_b = model.pos_encoding
+    enc_p = enc_lib.GridEncoding(
+        n_input_dims=enc_b.n_input_dims,
+        n_levels=enc_b.n_levels,
+        n_features_per_level=enc_b.n_features_per_level,
+        log2_hashmap_size=enc_b.log2_hashmap_size,
+        base_resolution=enc_b.base_resolution,
+        per_level_scale=enc_b.per_level_scale,
+        hash_type=enc_b.hash_type,
+        layout="plain",
+    )
+    tb = np.asarray(params["pos_encoding"]["table"], np.float32)
+    tp = np.zeros((enc_p.table_size, enc_p.n_features_per_level), np.float32)
+    any_hash = False
+    for l in range(enc_b.n_levels):
+        if enc_b.level_dense[l] and enc_p.level_dense[l]:
+            n = min(enc_b.level_sizes[l], enc_p.level_sizes[l], enc_b.level_res[l] ** enc_b.n_input_dims)
+            tp[enc_p.level_offsets[l] : enc_p.level_offsets[l] + n] = tb[
+                enc_b.level_offsets[l] : enc_b.level_offsets[l] + n
+            ]
+        else:
+            any_hash = True
+    mse = 0.0
+    if any_hash and n_steps > 0:
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        target_params = {"table": jnp.asarray(tb)}
+        p = {"table": jnp.asarray(tp)}
+        tx = optax.adam(lr)
+        st = tx.init(p)
+
+        @jax.jit
+        def step(p, st, k):
+            x = jax.random.uniform(k, (batch, enc_b.n_input_dims))
+            tgt = jax.lax.stop_gradient(enc_b.apply(target_params, x))
+
+            def loss(pp):
+                return jnp.mean((enc_p.apply(pp, x) - tgt) ** 2)
+
+            l, g = jax.value_and_grad(loss)(p)
+            up, st = tx.update(g, st, p)
+            return optax.apply_updates(p, up), st, l
+
+        for i in range(n_steps):
+            rng, k = jax.random.split(rng)
+            p, st, l = step(p, st, k)
+        mse = float(l)
+        tp = p["table"]
+    return enc_p, jnp.asarray(tp), mse
+
+
 def export_ingp(
     path: str,
     network_config: dict,
@@ -131,20 +199,34 @@ def export_ingp(
     training_step: int = 0,
     loss: float = 0.0,
     compress: bool = True,
+    interop: str = "convert",  # "convert" | "warn" | "strict"
 ) -> None:
     import msgpack
 
     cfg = json.loads(json.dumps(dict(network_config)))  # deep, json-clean
 
-    # Record the grid-encoding table layout in the exported config. The
-    # "brick" (additive-hash, 128-aligned) and "paired" layouts index the
-    # table differently from tcnn's xor-hash/align-8 scheme, so a reader
-    # must know which scheme wrote the blob: without this marker our own
-    # loader (Testbed.load_snapshot) assumes 'plain' for unmarked files —
-    # correct for genuine tcnn snapshots, silently corrupting for ours.
+    # tcnn readers assume xor-hash/align-8 ('plain') table order. The
+    # "brick" (additive-hash, 128-aligned) and "paired" layouts index
+    # differently, so exports re-bake to 'plain' by default (dense levels
+    # exact, hash levels least-squares-fit — see rebake_plain_table; exact
+    # hash conversion is impossible, the collision sets differ).
     layout = getattr(getattr(model, "pos_encoding", None), "layout", None)
     if layout is not None and isinstance(cfg.get("encoding"), dict):
-        cfg["encoding"]["layout"] = layout
+        if layout != "plain" and interop == "strict":
+            raise ValueError(
+                f".ingp export with table layout {layout!r} is not readable by "
+                "tcnn/CUDA readers; use interop='convert' (re-bake) or 'warn'."
+            )
+        if layout != "plain" and interop == "convert":
+            import dataclasses
+
+            enc_p, table_p, mse = rebake_plain_table(model, params)
+            params = {**params, "pos_encoding": {"table": table_p}}
+            model = dataclasses.replace(model, pos_encoding=enc_p)
+            cfg["encoding"]["layout"] = "plain"
+            layout = "plain"
+        else:
+            cfg["encoding"]["layout"] = layout
         if layout != "plain":
             import warnings
 
@@ -152,8 +234,8 @@ def export_ingp(
                 f".ingp export uses table layout {layout!r}: readable by "
                 "nerfshop_tpu (layout recorded in the config) but NOT by "
                 "CUDA Instant-NGP/NeRFshop readers, which assume tcnn "
-                "xor-hash indexing. Re-train or re-bake with "
-                "encoding.layout='plain' for cross-ecosystem interop.",
+                "xor-hash indexing. Use interop='convert' for "
+                "cross-ecosystem interop.",
                 stacklevel=2,
             )
     blob = pack_params(model, params)

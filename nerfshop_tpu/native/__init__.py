@@ -39,7 +39,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB_PATH.exists() and not _build():
+        src = _DIR / "host_ops.cpp"
+        stale = (
+            not _LIB_PATH.exists()
+            or _LIB_PATH.stat().st_mtime < src.stat().st_mtime
+        )
+        if stale and not _build() and not _LIB_PATH.exists():
             return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))

@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -41,14 +42,26 @@ int voxelize_tets(
     const unsigned n_threads = std::max(1u, std::thread::hardware_concurrency());
     std::atomic<int32_t> overflow{0};
 
+    // cell geometry (double, mirroring the numpy reference in
+    // tet_mesh.py::_voxelize so native and python produce identical lists)
+    double cell_size[3], half_abs[3];
+    for (int a = 0; a < 3; ++a) {
+        cell_size[a] = 1.0 / (double)inv_cell[a];
+        half_abs[a] = cell_size[a] * 0.5;
+    }
+    const double margin = std::sqrt(cell_size[0] * cell_size[0] +
+                                    cell_size[1] * cell_size[1] +
+                                    cell_size[2] * cell_size[2]);
+
     auto worker = [&](int64_t begin, int64_t end) {
         for (int64_t ti = begin; ti < end; ++ti) {
+            const float* tv[4];
             float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
             for (int k = 0; k < 4; ++k) {
-                const float* v = verts + 3 * (int64_t)tets[4 * ti + k];
+                tv[k] = verts + 3 * (int64_t)tets[4 * ti + k];
                 for (int a = 0; a < 3; ++a) {
-                    lo[a] = std::min(lo[a], v[a]);
-                    hi[a] = std::max(hi[a], v[a]);
+                    lo[a] = std::min(lo[a], tv[k][a]);
+                    hi[a] = std::max(hi[a], tv[k][a]);
                 }
             }
             int c0[3], c1[3];
@@ -59,9 +72,50 @@ int voxelize_tets(
                 c0[a] = std::clamp((int)((lo[a] - bbox_lo[a]) * inv_cell[a]) - 1, 0, res - 1);
                 c1[a] = std::clamp((int)((hi[a] - bbox_lo[a]) * inv_cell[a]) + 1, 0, res - 1);
             }
-            for (int x = c0[0]; x <= c1[0]; ++x)
-                for (int y = c0[1]; y <= c1[1]; ++y)
+            // outward face planes (face f opposite vertex f) — computed in
+            // f32 like numpy (cross/einsum of f32 verts stay f32 there),
+            // plane TEST in double like numpy's f64 cell centers. A cell
+            // entirely outside any face plane beyond the near-miss margin
+            // cannot contain (or nearly contain) a tet point; bbox-only
+            // voxelization lists 100+ tets per cell under sliver tets.
+            static const int F[4][3] = {{1, 2, 3}, {0, 3, 2}, {0, 1, 3}, {0, 2, 1}};
+            float n[4][3], dpl[4];
+            double slack[4];
+            for (int f = 0; f < 4; ++f) {
+                const float* A = tv[F[f][0]];
+                const float* B = tv[F[f][1]];
+                const float* C = tv[F[f][2]];
+                float e1[3], e2[3];
+                for (int a = 0; a < 3; ++a) { e1[a] = B[a] - A[a]; e2[a] = C[a] - A[a]; }
+                n[f][0] = e1[1] * e2[2] - e1[2] * e2[1];
+                n[f][1] = e1[2] * e2[0] - e1[0] * e2[2];
+                n[f][2] = e1[0] * e2[1] - e1[1] * e2[0];
+                const float* opp = tv[f];
+                float dot = 0.f;
+                for (int a = 0; a < 3; ++a) dot += n[f][a] * (opp[a] - A[a]);
+                if (dot > 0.f)
+                    for (int a = 0; a < 3; ++a) n[f][a] = -n[f][a];
+                dpl[f] = n[f][0] * A[0] + n[f][1] * A[1] + n[f][2] * A[2];
+                double nrm = std::sqrt((double)n[f][0] * n[f][0] +
+                                       (double)n[f][1] * n[f][1] +
+                                       (double)n[f][2] * n[f][2]);
+                slack[f] = std::abs((double)n[f][0]) * half_abs[0] +
+                           std::abs((double)n[f][1]) * half_abs[1] +
+                           std::abs((double)n[f][2]) * half_abs[2] + margin * nrm;
+            }
+            for (int x = c0[0]; x <= c1[0]; ++x) {
+                double cx = (x + 0.5) * cell_size[0] + (double)bbox_lo[0];
+                for (int y = c0[1]; y <= c1[1]; ++y) {
+                    double cy = (y + 0.5) * cell_size[1] + (double)bbox_lo[1];
                     for (int z = c0[2]; z <= c1[2]; ++z) {
+                        double cz = (z + 0.5) * cell_size[2] + (double)bbox_lo[2];
+                        bool keep = true;
+                        for (int f = 0; f < 4 && keep; ++f) {
+                            double proj = cx * (double)n[f][0] + cy * (double)n[f][1] +
+                                          cz * (double)n[f][2];
+                            keep = proj - slack[f] <= (double)dpl[f];
+                        }
+                        if (!keep) continue;
                         int64_t ci = ((int64_t)x * res + y) * res + z;
                         int32_t slot = counts[ci].fetch_add(1, std::memory_order_relaxed);
                         if (slot < max_t)
@@ -69,6 +123,8 @@ int voxelize_tets(
                         else
                             overflow.store(slot + 1, std::memory_order_relaxed);
                     }
+                }
+            }
         }
     };
 
@@ -80,9 +136,14 @@ int voxelize_tets(
     }
     for (auto& th : pool) th.join();
 
+    // deterministic per-cell order (ascending tet id, matching the python
+    // reference's sequential append) regardless of thread interleaving
     int32_t max_seen = overflow.load();
-    for (int64_t ci = 0; ci < n_cells; ++ci)
+    for (int64_t ci = 0; ci < n_cells; ++ci) {
+        int32_t cnt = std::min(counts[ci].load(std::memory_order_relaxed), max_t);
+        std::sort(cells_out + ci * max_t, cells_out + ci * max_t + cnt);
         max_seen = std::max(max_seen, counts[ci].load(std::memory_order_relaxed));
+    }
     return max_seen;
 }
 

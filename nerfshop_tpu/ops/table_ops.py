@@ -234,10 +234,6 @@ def make_brick_encode(
             )
             sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
             kb_s = sorted_ops[0]
-            w1_s = jnp.stack(sorted_ops[1 : 1 + D], axis=-1)  # [Lb, N, D]
-            d_s = jnp.stack(sorted_ops[1 + D :], axis=-1)  # [Lb, N, F]
-            w8_s = corner_products(w1_s)  # [Lb, N, C]
-            ct_s = (w8_s[..., :, None] * d_s[..., None, :]).reshape(len(big), N, w)
             # G logical rows share one 128-lane group: place each sample's
             # w-wide cotangent at lane block (idx % G) and segment-sum over
             # the COARSE key idx//G — samples of different fine rows in the
@@ -246,30 +242,65 @@ def make_brick_encode(
             # histogram shrinks G× and the boundary gather becomes G× fewer
             # 128-lane rows (gathers are row-count-bound on v5e: measured
             # 0.25 ms vs 2-3 ms per level for the 16-wide m+1-row form).
+            # Levels run in GROUPS of 4 with explicit stage barriers:
+            # full batching over all 16 levels held >6 GB of [L,N,128]
+            # intermediates live and blew HBM, while fully-fused per-level
+            # processing let XLA build pathological mega-fusions (+100 ms —
+            # the isolated stages measure 15x faster when they consume
+            # materialized buffers, which the barriers reproduce).
             G = 128 // w if 128 % w == 0 else 1
-            if G > 1:
-                j = (kb_s % G)[..., None]  # [Lb, N, 1]
-                ct128 = jnp.concatenate(
-                    [jnp.where(j == k, ct_s, 0.0) for k in range(G)], axis=-1
-                )  # [Lb, N, G·w = 128]
-            else:
-                ct128 = ct_s
-            cs = jnp.cumsum(ct128, axis=1)
-            cs_ext = jnp.concatenate(
-                [jnp.zeros((len(big), 1, cs.shape[-1]), cs.dtype), cs], axis=1
-            )
-            for bi, l in enumerate(big):
-                m = level_sizes[l]
-                mg = m // G  # coarse rows (m % 128 == 0 ⇒ integral)
-                bins = -(-mg // 128) * 128
-                counts = exact_histogram(kb_s[bi] // G, bins)
-                b = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(counts)])
-                b = jax.lax.optimization_barrier(b.astype(jnp.int32)[: mg + 1])
-                # barrier the PER-LEVEL 2D buffer: a gather whose operand is
-                # a fused slice of the 3D stack runs ~100x slower on v5e
-                cs_l = jax.lax.optimization_barrier(cs_ext[bi])
-                cb = jnp.take(cs_l, b, axis=0)  # [mg+1, 128]
-                dB[l] = (cb[1:] - cb[:-1]).reshape(m, w)
+            lanes = G * w
+            WB = 16  # two-level blocked prefix sum: 14 vs 30 ms flat on v5e
+            LG = 4
+            for g0 in range(0, len(big), LG):
+                grp = big[g0 : g0 + LG]
+                ng = len(grp)
+                kg = kb_s[g0 : g0 + ng]  # [ng, N] sorted keys
+                w1_g = jnp.stack(
+                    [sorted_ops[1 + d][g0 : g0 + ng] for d in range(D)], axis=-1
+                )  # [ng, N, D]
+                d_g = jnp.stack(
+                    [sorted_ops[1 + D + f][g0 : g0 + ng] for f in range(F)], axis=-1
+                )
+                w8_g = corner_products(w1_g)  # [ng, N, C]
+                ct_s = (w8_g[..., :, None] * d_g[..., None, :]).reshape(ng, N, w)
+                ct_s = jax.lax.optimization_barrier(ct_s)
+                if G > 1:
+                    j = (kg % G)[..., None]
+                    ct128 = jnp.concatenate(
+                        [jnp.where(j == k, ct_s, 0.0) for k in range(G)], axis=-1
+                    )  # [ng, N, 128]
+                else:
+                    ct128 = ct_s
+                ct128 = jax.lax.optimization_barrier(ct128)
+                if N % WB == 0:
+                    xb = ct128.reshape(ng, N // WB, WB, lanes)
+                    bsum = xb.sum(axis=2)
+                    pre = jnp.cumsum(bsum, axis=1) - bsum  # exclusive block prefix
+                    cs = (jnp.cumsum(xb, axis=2) + pre[:, :, None, :]).reshape(ng, N, lanes)
+                else:
+                    cs = jnp.cumsum(ct128, axis=1)
+                cs_ext = jnp.concatenate(
+                    [jnp.zeros((ng, 1, lanes), cs.dtype), cs], axis=1
+                )
+                for gi, l in enumerate(grp):
+                    m = level_sizes[l]
+                    kl = kg[gi]
+                    mg = m // G  # coarse rows (m % 128 == 0 ⇒ integral)
+                    bins = -(-mg // 128) * 128
+                    counts = exact_histogram(kl // G, bins)
+                    b = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(counts)])
+                    b = jax.lax.optimization_barrier(b.astype(jnp.int32)[: mg + 1])
+                    # barrier the PER-LEVEL 2D buffer: a gather whose operand
+                    # is a fused slice of the 3D stack runs ~100x slower
+                    cs_l = jax.lax.optimization_barrier(cs_ext[gi])
+                    cb = jnp.take(cs_l, b, axis=0)  # [mg+1, 128]
+                    # materialize before the corner reduction: the 2^D
+                    # per-corner slices would otherwise FUSE with (and
+                    # re-execute) this gather+diff 2^D times (+660 ms)
+                    dB[l] = jax.lax.optimization_barrier(
+                        (cb[1:] - cb[:-1]).reshape(m, w)
+                    )
 
         # corner reduction: brick column block c rolls back by +s_c
         d_levels = []

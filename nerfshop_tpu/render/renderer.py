@@ -68,6 +68,11 @@ class RenderOptions:
     compact_frac: float = 0.0
     #: view-aligned slice distance for RenderMode.Slice (m_slice_plane_z)
     slice_z: float = 0.5
+    #: membrane seam-correction blend: "target" = the reference's α-ratio
+    #: color mix + density clamp min(max(σ_target, σ_src), σ_src+σ_resid)
+    #: (composite_kernel_nerf testbed_nerf.cu:770-805, poisson_target=true);
+    #: "additive" = σ+=resid, rgb+=SHdelta (round-2 simplification)
+    membrane_mode: str = "target"
     #: number of edit operators baked into the compiled chunk fn (operators
     #: themselves are traced arguments; only the count/type is static)
     n_edit_operators: int = 0
@@ -115,6 +120,7 @@ def _eval_window(
     opts: RenderOptions,
     aabb,
     operators: tuple,
+    extra: "Optional[jnp.ndarray]" = None,  # [E] per-frame extra dims (light dir)
 ):
     """Network evaluation + per-sample edit warp for one march window.
     → (sigma [R,K], rgb [R,K,3])."""
@@ -153,13 +159,18 @@ def _eval_window(
     else:
         budget = int(R * K * opts.compact_frac)
         budget = -(-budget // 256) * 256 if budget > 0 else 0
+        ex = None
+        if extra is not None and model.n_extra_dims:
+            ex = jnp.broadcast_to(extra[None, :], (R * K, extra.shape[-1]))
         if 0 < budget < R * K:
             rgb, sigma = _compacted_field_eval(
-                lambda p, d: model(params, p, d),
+                lambda p, d: model(params, p, d, extra=(
+                    jnp.broadcast_to(extra[None, :], (p.shape[0], extra.shape[-1]))
+                    if ex is not None else None)),
                 flat_pos, flat_dir, samples.valid.reshape(-1), budget,
             )
         else:
-            rgb, sigma = model(params, flat_pos, flat_dir)
+            rgb, sigma = model(params, flat_pos, flat_dir, extra=ex)
         rgb_s = rgb.reshape(R, K, 3)
         sigma = sigma.reshape(R, K)
 
@@ -168,10 +179,33 @@ def _eval_window(
         # reference: composite_kernel_nerf 764-767)
         sigma = jnp.where(empty_mask, 0.0, sigma)
     if resid_sigma is not None:
-        # membrane blending (reference: composite 770-805, simplified to
-        # additive residual density + SH color delta)
-        sigma = sigma + resid_sigma
-        rgb_s = jnp.clip(rgb_s + resid_rgb, 0.0, None)
+        on = resid_sigma > 1e-9
+        if opts.membrane_mode == "target":
+            # reference parity (composite_kernel_nerf testbed_nerf.cu:770-805,
+            # poisson_target): density clamped between the RECEIVING scene's
+            # own density at the sample (σ_target — the "old network" output,
+            # i.e. the field at the UNWARPED position) and source+residual:
+            #   σ = min(max(σ_target, σ_src), σ_src + σ_resid)
+            # color mixed by the α-ratio:  w_N·rgb + w_R·rgb_sh_residual.
+            tgt_pos_w = jnp.clip(
+                coords.warp_position(pos_world.reshape(-1, 3), aabb), 0.0, 1.0
+            )
+            sigma_tgt = model.density(params, tgt_pos_w).reshape(R, K)
+            sigma_new = jnp.minimum(
+                jnp.maximum(sigma_tgt, sigma), sigma + resid_sigma
+            )
+            dt = samples.dt
+            alpha_n = 1.0 - jnp.exp(-sigma * dt)
+            alpha_r = 1.0 - jnp.exp(-resid_sigma * dt)
+            den = alpha_n + alpha_r
+            w_n = jnp.where(den > 1e-12, alpha_n / jnp.maximum(den, 1e-12), 1.0)
+            rgb_mix = w_n[..., None] * rgb_s + (1.0 - w_n)[..., None] * resid_rgb
+            sigma = jnp.where(on, sigma_new, sigma)
+            rgb_s = jnp.where(on[..., None], rgb_mix, rgb_s)
+        else:
+            # additive simplification (round-2 behavior; kept as an option)
+            sigma = sigma + resid_sigma
+            rgb_s = jnp.clip(rgb_s + resid_rgb, 0.0, None)
     return sigma, rgb_s
 
 
@@ -185,6 +219,7 @@ def _render_chunk(
     bg: jnp.ndarray,
     operators: tuple = (),
     envmap: Optional[jnp.ndarray] = None,
+    extra: Optional[jnp.ndarray] = None,
 ):
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
     # render crop: marching clipped to the crop box (reference m_render_aabb);
@@ -217,7 +252,7 @@ def _render_chunk(
         selection="first",
         with_aux=True,
     )
-    sigma, rgb_s = _eval_window(model, params, samples, origins, directions, opts, aabb, operators)
+    sigma, rgb_s = _eval_window(model, params, samples, origins, directions, opts, aabb, operators, extra)
     res = comp.composite(
         sigma, rgb_s, samples.dt, samples.t, samples.valid, opts.min_transmittance
     )
@@ -372,7 +407,7 @@ def _eval_tile_chunk(
             t=jnp.where(v_r, t_r, 0.0), dt=jnp.where(v_r, dt_r, 0.0),
             valid=v_r, n=jnp.sum(v_r.astype(jnp.int32), axis=1),
         )
-        sigma, rgb_s = _eval_window(model, params, samples, o_flat, d_flat, opts, aabb, operators)
+        sigma, rgb_s = _eval_window(model, params, samples, o_flat, d_flat, opts, aabb, operators, extra)
         res = comp.composite(sigma, rgb_s, samples.dt, samples.t, samples.valid, opts.min_transmittance)
         acc_rgb = acc_rgb + trans[:, None] * res.rgb
         depth = jnp.where(acc_opacity > 0, depth, res.depth)
@@ -614,8 +649,8 @@ def _make_chunk_fn(model, opts: RenderOptions):
     ``lax.map`` program at 1080p ran for minutes and tripped the TPU-worker
     watchdog; per-dispatch overhead is ~50 µs so looping costs nothing."""
 
-    def chunk_fn(params, grid, origins, dirs, bg, operators, envmap):
-        return _render_chunk(model, params, grid, origins, dirs, opts, bg, operators, envmap)
+    def chunk_fn(params, grid, origins, dirs, bg, operators, envmap, extra=None):
+        return _render_chunk(model, params, grid, origins, dirs, opts, bg, operators, envmap, extra)
 
     return jax.jit(chunk_fn)
 
@@ -661,6 +696,7 @@ def render_frame(
     lens: str = "pinhole",
     ftheta_coeffs: Optional[jnp.ndarray] = None,
     dof_uv: Optional[jnp.ndarray] = None,  # [H*W, 2] unit-disc lens samples
+    extra_dims: Optional[jnp.ndarray] = None,  # [E] e.g. warped light dir
 ) -> FrameOutput:
     """Render one frame, chunked over pixels; compiled chunk programs are
     cached so arbitrary resolutions reuse the same executable.
@@ -696,7 +732,7 @@ def render_frame(
 
     rgba_chunks, depth_chunks = [], []
     for i in range((n + n_pad) // chunk):
-        rgba_c, depth_c = chunk_fn(params, grid, origins[i], dirs[i], bg, operators, envmap)
+        rgba_c, depth_c = chunk_fn(params, grid, origins[i], dirs[i], bg, operators, envmap, extra_dims)
         rgba_chunks.append(rgba_c)
         depth_chunks.append(depth_c)
     rgba = jnp.concatenate(rgba_chunks)[:n].reshape(H, W, 4)

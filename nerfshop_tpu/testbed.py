@@ -108,6 +108,9 @@ class Testbed:
             render_with_camera_distortion=False,
             render_min_transmittance=1e-2,
             cone_angle_constant=0.0,
+            #: render-time light direction for has_light_dirs scenes
+            #: (reference m_nerf.light_dir)
+            light_dir=np.array([0.0, 0.0, 1.0], np.float32),
         )
         self.stats = TrainingStats()
 
@@ -211,7 +214,18 @@ class Testbed:
 
             aabb_scale = self._dataset.aabb_scale if self._dataset else 1
             is_hdr = bool(self._dataset and self._dataset.is_hdr)
-            self._model = build_nerf_network(cfg, aabb_scale=aabb_scale, is_hdr=is_hdr)
+            # light-dir extra dims (reference nerf_loader.h:38-127:
+            # has_light_dirs ⇒ 3 extra network input dims appended to the
+            # direction encoding; else n_extra_learnable_dims)
+            n_extra = 0
+            if self._dataset is not None:
+                if getattr(self._dataset, "has_light_dirs", False):
+                    n_extra = 3
+                else:
+                    n_extra = int(getattr(self._dataset, "n_extra_learnable_dims", 0) or 0)
+            self._model = build_nerf_network(
+                cfg, aabb_scale=aabb_scale, is_hdr=is_hdr, n_extra_dims=n_extra
+            )
             self._spec = optim.build_optimizer(dict(cfg.get("optimizer", {})))
             params = self._model.init(k)
             # trainable envmap background (T8): created from the dataset's
@@ -793,6 +807,7 @@ class Testbed:
                 operators=tuple(self._edit_operators),
                 envmap=params.get("envmap") if isinstance(params, dict) else None,
                 lens=lens, ftheta_coeffs=ftheta_coeffs, dof_uv=dof_uv,
+                extra_dims=self._render_extra_dims(),
             )
             buf.accumulate(out.rgba, out.depth)
         self._last_depth = np.asarray(out.depth)
@@ -912,9 +927,23 @@ class Testbed:
     def _inference_params(self):
         return self._state.inference_params if self._state is not None else None
 
+    def _render_extra_dims(self):
+        """Warped light-dir extra dims for render (reference m_nerf.light_dir
+        → NerfCoordinate extras); None unless the model was built with
+        has_light_dirs data (nerf_loader.h:38-127)."""
+        if self._model is None or not getattr(self._model, "n_extra_dims", 0):
+            return None
+        import jax.numpy as jnp
+
+        from nerfshop_tpu.ops import coords
+
+        ld = np.asarray(getattr(self.nerf, "light_dir", (0.0, 0.0, 1.0)), np.float32)
+        ld = ld / max(float(np.linalg.norm(ld)), 1e-9)
+        return coords.warp_direction(jnp.asarray(ld))
+
     # --------------------------------------------------------------- snapshots
 
-    def save_snapshot(self, path: str, include_optimizer_state: bool = True) -> None:
+    def save_snapshot(self, path: str, include_optimizer_state: bool = True, interop: str = "convert") -> None:
         if str(path).endswith((".ingp", ".msgpack")):
             from nerfshop_tpu.io import ingp as ingp_lib
 
@@ -927,6 +956,7 @@ class Testbed:
                 aabb_scale=self._dataset.aabb_scale if self._dataset else 1,
                 training_step=self.stats.step,
                 loss=self.stats.loss,
+                interop=interop,
             )
             return
         from nerfshop_tpu.io import snapshot as snap_lib

@@ -52,6 +52,9 @@ class DeviceDataset(NamedTuple):
     #: motion-blur training (reference testbed_nerf.cu:1124)
     xforms_end: Optional[jnp.ndarray] = None  # [N, 3, 4]
     rolling_shutter: Optional[jnp.ndarray] = None  # [4]
+    #: per-image light directions (reference nerf_loader.h:35/has_light_dirs
+    #: ⇒ 3 extra dims appended to the dir-encoding input)
+    light_dirs: Optional[jnp.ndarray] = None  # [N, 3]
 
     @staticmethod
     def from_dataset(ds) -> "DeviceDataset":
@@ -62,6 +65,7 @@ class DeviceDataset(NamedTuple):
         xf_end = getattr(ds, "xforms_end", None)
         rs = np.asarray(getattr(ds, "rolling_shutter", np.zeros(4)), np.float32)
         use_shutter = xf_end is not None and (rs != 0).any()
+        ld = getattr(ds, "light_dirs", None) if getattr(ds, "has_light_dirs", False) else None
         return DeviceDataset(
             images=jnp.asarray(ds.images),
             xforms=jnp.asarray(ds.xforms),
@@ -71,6 +75,7 @@ class DeviceDataset(NamedTuple):
             sharpness=sharp,
             xforms_end=jnp.asarray(xf_end) if use_shutter else None,
             rolling_shutter=jnp.asarray(rs) if use_shutter else None,
+            light_dirs=jnp.asarray(np.asarray(ld, np.float32)) if ld is not None else None,
         )
 
 
@@ -121,14 +126,20 @@ def nerf_loss_fn(
     min_transmittance: float,
     near_distance: float = 0.0,
     mean_grid_density: Optional[jnp.ndarray] = None,
+    extra: Optional[jnp.ndarray] = None,  # [R, E] per-ray extra dims
 ) -> Tuple[jnp.ndarray, dict]:
     from nerfshop_tpu.common import NERF_MIN_OPTICAL_THICKNESS
     from nerfshop_tpu.models import nerf_network as nn_lib
 
     R, K = samples.t.shape
     pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
+    extra_flat = None
+    if extra is not None:
+        extra_flat = jnp.broadcast_to(extra[:, None, :], (R, K, extra.shape[-1])).reshape(
+            R * K, extra.shape[-1]
+        )
     raw_rgb, raw_sigma = model.raw_forward(
-        params, pos_w.reshape(R * K, 3), dir_w.reshape(R * K, 3)
+        params, pos_w.reshape(R * K, 3), dir_w.reshape(R * K, 3), extra=extra_flat
     )
     rgb = nn_lib.rgb_activation_fn(raw_rgb, model.rgb_activation).reshape(R, K, 3)
     sigma = nn_lib.density_activation_fn(raw_sigma, model.density_activation).reshape(R, K)
@@ -261,11 +272,17 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
             if cfg.optimize_exposure and "camera" in p:
                 scale = jnp.exp(p["camera"]["log_exposure"][img_idx])[:, None]
                 tgt = jnp.concatenate([targets[:, :3] * scale, targets[:, 3:]], -1)
+            extra = None
+            if data.light_dirs is not None and model.n_extra_dims:
+                # warped per-image light dir appended to the dir encoding
+                # input (reference: NerfCoordinate extra dims)
+                extra = coords.warp_direction(data.light_dirs[img_idx])
             return nerf_loss_fn(
                 p, model, samples, bundle.origins, bundle.directions,
                 tgt, bg, aabb, loss_fn, cfg.min_transmittance,
                 near_distance=cfg.near_distance,
                 mean_grid_density=grid.mean_density,
+                extra=extra,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)

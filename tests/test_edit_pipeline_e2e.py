@@ -148,3 +148,49 @@ def test_edits_roundtrip(tmp_path, trained):
     a = op_lib.cage_map_samples(op, p, d)
     b = op_lib.cage_map_samples(ops2[0], p, d)
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_membrane_blend_modes(trained):
+    """Membrane blend parity (reference composite testbed_nerf.cu:770-805):
+    the default "target" mode clamps density to
+    min(max(sigma_target, sigma_src), sigma_src + sigma_resid) >= sigma_src, so
+    per-pixel opacity never drops below the membrane-less edited render; the
+    "additive" mode (sigma_src + sigma_resid) upper-bounds the target mode."""
+    from nerfshop_tpu.editing import poisson as poisson_lib
+
+    model, state, grid, cfg, focal, principal = trained
+    gs, op = _build_cage_op(trained, translate=(0.12, 0.0, 0.0))
+    membrane = poisson_lib.compute_membrane(
+        model, state.inference_params, gs.cage, gs.tet_mesh,
+        coords.BoundingBox.unit(), jax.random.PRNGKey(11),
+    )
+    op_m = op._replace(membrane=membrane)
+
+    def render_with(operators, mode):
+        update = nerf_train.make_grid_update(model, cfg, operators=tuple(operators))
+        grid_copy = jax.tree.map(lambda a: a.copy(), grid)
+        g2 = update(grid_copy, state.inference_params, jax.random.PRNGKey(7), full_refresh=True)
+        xf = look_at(CENTER + np.asarray((0.9, 0.9, 0.5), np.float32))
+        opts = renderer.RenderOptions(
+            k_samples=128, n_windows=2, aabb_scale=1, min_transmittance=1e-4,
+            use_grid_early_stop=False, chunk=RES * RES, membrane_mode=mode,
+        )
+        out = renderer.render_frame(
+            model, state.inference_params, g2, (RES, RES),
+            jnp.asarray(xf), jnp.asarray(focal), jnp.asarray(principal),
+            opts=opts, operators=tuple(operators),
+        )
+        return np.asarray(out.rgba)
+
+    base = render_with((op,), "target")          # no membrane attached
+    tgt = render_with((op_m,), "target")
+    add = render_with((op_m,), "additive")
+
+    assert np.isfinite(tgt).all() and np.isfinite(add).all()
+    # density clamp: target-mode sigma >= source sigma pixel-wise
+    assert (tgt[..., 3] >= base[..., 3] - 2e-2).all()
+    # additive sigma = src + resid upper-bounds the clamped target mode
+    assert (add[..., 3] >= tgt[..., 3] - 2e-2).all()
+    # the membrane actually does something where residuals are active
+    assert np.abs(tgt - base).max() > 1e-4

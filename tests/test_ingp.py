@@ -39,7 +39,8 @@ def test_ingp_export_import_roundtrip(tmp_path):
     grid = np.random.default_rng(0).uniform(0, 3, (2, 128, 128, 128)).astype(np.float32)
     path = tmp_path / "snap.ingp"
     ingp.export_ingp(path, cfg, model, params, density_grid=grid,
-                     aabb_scale=2, training_step=777, loss=0.0123)
+                     aabb_scale=2, training_step=777, loss=0.0123,
+                     interop="warn")  # raw blob mechanics: no re-bake
     out = ingp.import_ingp(path, model, params)
     assert out["training_step"] == 777
     assert out["aabb_scale"] == 2
@@ -63,7 +64,7 @@ def test_ingp_uncompressed_msgpack(tmp_path):
     model = build_nerf_network(cfg, aabb_scale=1)
     params = model.init(jax.random.PRNGKey(0))
     path = tmp_path / "snap.msgpack"
-    ingp.export_ingp(path, cfg, model, params)
+    ingp.export_ingp(path, cfg, model, params, interop="warn")
     loaded = ingp.load_ingp(path)
     assert loaded["snapshot"]["version"] == 1
     assert loaded["snapshot"]["params_type"] == "__half"
@@ -83,7 +84,10 @@ def test_testbed_ingp_roundtrip(tmp_path):
     tb.train(40, 8192)
     img_a = tb.render(32, 32, spp=1)
     p = str(tmp_path / "scene.ingp")
-    tb.save_snapshot(p)
+    # interop="warn" keeps the brick table verbatim (the re-bake convert
+    # path is covered by test_ingp_rebake_convert on a small model; running
+    # it on the full 16-level table here would dominate the CPU suite)
+    tb.save_snapshot(p, interop="warn")
 
     tb2 = Testbed(TestbedMode.Nerf)
     tb2.load_snapshot(p)
@@ -93,3 +97,42 @@ def test_testbed_ingp_roundtrip(tmp_path):
     img_b = tb2.render(32, 32, spp=1)
     # fp16 params + fp16 grid: renders agree closely
     assert float(np.abs(img_a - img_b).mean()) < 0.02
+
+
+def test_ingp_rebake_convert(tmp_path):
+    """Default export re-bakes brick -> tcnn 'plain' order (VERDICT r2 #7):
+    dense levels copy exactly, hash levels are least-squares fit; a reader
+    building the model from the stored config (layout='plain') reproduces
+    the encoding field closely."""
+    from nerfshop_tpu.models.encodings import GridEncoding
+
+    cfg = default_nerf_config()
+    cfg["encoding"]["n_levels"] = 4
+    cfg["encoding"]["log2_hashmap_size"] = 9
+    cfg["encoding"]["base_resolution"] = 4
+    cfg["encoding"]["per_level_scale"] = 2.0
+    model = build_nerf_network(cfg, aabb_scale=1)
+    assert model.pos_encoding.layout == "brick"
+    assert not all(model.pos_encoding.level_dense)  # hash levels exercised
+    params = model.init(jax.random.PRNGKey(3))
+    # give the table structure (init is ~0 -> fit would be trivial)
+    params["pos_encoding"]["table"] = (
+        jax.random.normal(jax.random.PRNGKey(4), params["pos_encoding"]["table"].shape) * 0.1
+    )
+    path = tmp_path / "conv.ingp"
+    ingp.export_ingp(path, cfg, model, params)  # default interop="convert"
+
+    loaded = ingp.load_ingp(path)
+    assert loaded["encoding"]["layout"] == "plain"
+    # build the reader-side model from the stored config
+    model_p = build_nerf_network(loaded, aabb_scale=1)
+    assert model_p.pos_encoding.layout == "plain"
+    tmpl = model_p.init(jax.random.PRNGKey(0))
+    out = ingp.unpack_params(model_p, np.frombuffer(loaded["snapshot"]["params_binary"], np.float16), tmpl)
+
+    x = jax.random.uniform(jax.random.PRNGKey(5), (512, 3))
+    y_brick = np.asarray(model.pos_encoding.apply(params["pos_encoding"], x))
+    y_plain = np.asarray(model_p.pos_encoding.apply(out["pos_encoding"], x))
+    # dense levels exact (fp16 blob); hash levels least-squares fit
+    err = np.abs(y_plain - y_brick)
+    assert err.mean() < 0.02, err.mean()

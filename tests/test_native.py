@@ -14,38 +14,46 @@ def lib():
     return l
 
 
-def test_voxelize_matches_numpy(lib):
+def test_voxelize_matches_python_path(lib):
+    """The live native voxelizer (plane-refined, multithreaded, sorted
+    per-cell) is EXACTLY equivalent to the python fallback — same cells,
+    same candidate lists, same fanout."""
     from nerfshop_tpu.editing.cage import Cage
     from nerfshop_tpu.editing.tet_mesh import TetMesh
     from test_bvh import cube_mesh
 
     cage = Cage.from_mesh(cube_mesh(0.3, 0.7))
     tm = TetMesh.from_cage(cage, ideal_edge=0.1)
-    res, max_t = 16, 32
+    res, max_t = 16, 64
 
-    tv = tm.vertices_original[tm.tets]
-    lo = tv.min((0, 1)) - 1e-4
-    hi = tv.max((0, 1)) + 1e-4
-    inv_cell = res / np.maximum(hi - lo, 1e-9)
+    lo_n, ic_n, cells_n, seen_n = tm._voxelize(tm.vertices_original, res, max_t, use_native=True)
+    lo_p, ic_p, cells_p, seen_p = tm._voxelize(tm.vertices_original, res, max_t, use_native=False)
 
-    cells_nat, max_nat = native.voxelize_tets(tm.vertices_original, tm.tets, res, lo, inv_cell, max_t)
+    np.testing.assert_array_equal(lo_n, lo_p)
+    np.testing.assert_array_equal(ic_n, ic_p)
+    assert seen_n == seen_p
+    assert cells_n.shape == cells_p.shape
+    np.testing.assert_array_equal(cells_n, cells_p)
 
-    # numpy reference (same loop as the fallback)
-    cell_lists = [[] for _ in range(res**3)]
-    # mirror the 1-cell padding (near-miss candidate dilation)
-    t_lo = np.clip(((tv.min(1) - lo) * inv_cell).astype(int) - 1, 0, res - 1)
-    t_hi = np.clip(((tv.max(1) - lo) * inv_cell).astype(int) + 1, 0, res - 1)
-    for ti in range(len(tm.tets)):
-        for x in range(t_lo[ti][0], t_hi[ti][0] + 1):
-            for y in range(t_lo[ti][1], t_hi[ti][1] + 1):
-                for z in range(t_lo[ti][2], t_hi[ti][2] + 1):
-                    cell_lists[(x * res + y) * res + z].append(ti)
 
-    for ci in range(res**3):
-        got = set(cells_nat[ci][cells_nat[ci] >= 0].tolist())
-        expect = set(cell_lists[ci][:max_t])
-        if len(cell_lists[ci]) <= max_t:
-            assert got == expect, ci
+def test_voxelize_drag_latency(lib):
+    """A realistic ~100-vertex cage rebuilds its LUTs fast enough for
+    per-gizmo-drag use (SURVEY hard-part #4 budget: <50 ms on a real host;
+    generous CI bound since the suite shares one core)."""
+    import time
+
+    from nerfshop_tpu.editing.cage import Cage
+    from nerfshop_tpu.editing.tet_mesh import TetMesh
+    from test_bvh import cube_mesh
+
+    cage = Cage.from_mesh(cube_mesh(0.25, 0.75))
+    tm = TetMesh.from_cage(cage, ideal_edge=0.06)
+    assert len(tm.tets) > 500  # realistic drag-scale workload
+    tm._voxelize(tm.vertices_original, 64, 32)  # warm (thread pool, pages)
+    t0 = time.perf_counter()
+    tm._voxelize(tm.vertices_original, 64, 32)
+    dt = time.perf_counter() - t0
+    assert dt < 1.0, f"native voxelize took {dt*1e3:.0f} ms"
 
 
 def test_region_grow_native(lib):
