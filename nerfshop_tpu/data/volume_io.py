@@ -6,9 +6,9 @@ nanovdb::Grid). Here the supported interchange formats are:
 * ``.npy`` / ``.npz`` — a 3D float density array (key ``density`` or the
   first array in an npz);
 * ``.raw`` + sidecar ``.json`` ({"dims": [X,Y,Z], "dtype": "float32"});
-* ``.nvdb`` — detected and rejected with a conversion hint (the NanoVDB
-  tree format is not parsed here; convert with
-  ``nanovdb_convert`` / OpenVDB Python to .npy once).
+* ``.nvdb`` — native minimal NanoVDB reader (uncompressed float grids;
+  leaf-level decode, see :func:`load_nanovdb`) — the reference's own
+  volume format (src/testbed_volume.cu:563-640).
 
 → density [X, Y, Z] float32, normalized so max ≈ the stored maximum
 (delta-tracking majorant derives from it downstream).
@@ -22,6 +22,93 @@ from pathlib import Path
 import numpy as np
 
 NANOVDB_MAGIC = 0x304244566F6E614E  # "NanoVDB0"
+
+# NanoVDB v32.3 ABI constants (reference vendored header,
+# dependencies/nanovdb/nanovdb/NanoVDB.h; file wrapper structs match
+# src/testbed_volume.cu:536-561 NanoVDBFileHeader/NanoVDBMetaData)
+_FILE_HEADER = np.dtype(
+    [("magic", "<u8"), ("version", "<u4"), ("gridCount", "<u2"), ("codec", "<u2")]
+)
+_FILE_META = np.dtype(
+    [
+        ("gridSize", "<u8"), ("fileSize", "<u8"), ("nameKey", "<u8"), ("voxelCount", "<u8"),
+        ("gridType", "<u4"), ("gridClass", "<u4"),
+        ("worldBBox", "<f8", (2, 3)), ("indexBBox", "<i4", (2, 3)),
+        ("voxelSize", "<f8", (3,)), ("nameSize", "<u4"),
+        ("nodeCount", "<u4", (4,)), ("tileCount", "<u4", (3,)),
+        ("codec", "<u2"), ("padding", "<u2"), ("version", "<u4"),
+    ]
+)
+_GRIDDATA_SIZE = 672  # sizeof(GridData), NanoVDB.h:2184
+_TREEDATA_OFF = _GRIDDATA_SIZE  # TreeData follows GridData
+_LEAF_HEADER = 96  # CoordT(12)+bboxDif(3)+flags(1)+mask(64)+min/max/avg/std(16)
+_LEAF_SIZE_F32 = _LEAF_HEADER + 512 * 4  # + alignas(32) float values, 8^3
+_GRIDTYPE_FLOAT = 1
+
+
+def load_nanovdb(path: str | Path) -> np.ndarray:
+    """Minimal native .nvdb reader (uncompressed float grids, first grid) —
+    the reference's own loader path (src/testbed_volume.cu:563-640).
+
+    Decodes LEAF nodes directly: every NanoVDB leaf stores its absolute
+    index-space origin (LeafData.mBBoxMin, NanoVDB.h:3364) plus a dense 8³
+    value array, so the dense volume assembles without walking the
+    root/internal tree. Active constant TILES at internal levels (rare for
+    density volumes) are not expanded — a warning is raised; voxels outside
+    leaves read the root background value.
+    """
+    raw = Path(path).read_bytes()
+    hdr = np.frombuffer(raw, _FILE_HEADER, count=1)[0]
+    if int(hdr["magic"]) != NANOVDB_MAGIC:
+        raise ValueError(f"{path}: not a NanoVDB file")
+    if int(hdr["codec"]) != 0:
+        raise NotImplementedError("compressed .nvdb (codec != 0) is not supported")
+    if int(hdr["gridCount"]) == 0:
+        raise ValueError("no grids in file")
+    off = _FILE_HEADER.itemsize
+    meta = np.frombuffer(raw, _FILE_META, count=1, offset=off)[0]
+    off += _FILE_META.itemsize
+    off += int(meta["nameSize"])  # grid name
+    if int(meta["codec"]) != 0:
+        raise NotImplementedError("compressed .nvdb grid is not supported")
+    if int(meta["gridType"]) != _GRIDTYPE_FLOAT:
+        raise NotImplementedError(f"gridType {int(meta['gridType'])} != Float")
+    grid = raw[off : off + int(meta["gridSize"])]
+
+    # TreeData (NanoVDB.h:2500): node offsets are relative to the TREE
+    tree = np.frombuffer(grid, "<u8", count=4, offset=_TREEDATA_OFF)
+    node_count = np.frombuffer(grid, "<u4", count=3, offset=_TREEDATA_OFF + 32)
+    leaf_off = _TREEDATA_OFF + int(tree[0])
+    n_leaf = int(node_count[0])
+    root_off = _TREEDATA_OFF + int(tree[3])
+    # RootData: mBBox (24B) + mTableSize (4B) + mBackground (NanoVDB.h:2718)
+    background = float(np.frombuffer(grid, "<f4", count=1, offset=root_off + 28)[0])
+    tile_counts = np.asarray(meta["tileCount"])
+    if tile_counts.sum() > 0:
+        import warnings
+
+        warnings.warn(
+            f"{path}: {int(tile_counts.sum())} active constant tiles are not "
+            "expanded (leaf-only decode); those regions read the background"
+        )
+
+    bb = np.asarray(meta["indexBBox"], np.int64)
+    lo, hi = bb[0], bb[1]
+    dims = np.maximum(hi - lo + 1, 1)
+    vol = np.full(tuple(dims), background, np.float32)
+    if n_leaf:
+        leaves = np.frombuffer(grid, np.uint8, count=n_leaf * _LEAF_SIZE_F32, offset=leaf_off)
+        leaves = leaves.reshape(n_leaf, _LEAF_SIZE_F32)
+        origins = leaves[:, :12].copy().view("<i4").reshape(n_leaf, 3)
+        values = leaves[:, _LEAF_HEADER:].copy().view("<f4").reshape(n_leaf, 8, 8, 8)
+        # leaf-local layout: offset = ((i&7)<<6)|((j&7)<<3)|(k&7) → [i, j, k]
+        for n in range(n_leaf):
+            i0, j0, k0 = origins[n] - lo
+            if i0 < 0 or j0 < 0 or k0 < 0:
+                continue
+            i1, j1, k1 = min(i0 + 8, dims[0]), min(j0 + 8, dims[1]), min(k0 + 8, dims[2])
+            vol[i0:i1, j0:j1, k0:k1] = values[n][: i1 - i0, : j1 - j0, : k1 - k0]
+    return vol
 
 
 def load_volume(path: str | Path) -> np.ndarray:
@@ -37,14 +124,12 @@ def load_volume(path: str | Path) -> np.ndarray:
         dims = meta["dims"]
         dtype = np.dtype(meta.get("dtype", "float32"))
         vol = np.fromfile(path, dtype=dtype).reshape(dims)
-    elif suffix in (".nvdb", ".vdb"):
-        magic = int.from_bytes(open(path, "rb").read(8), "little")
-        kind = "NanoVDB" if magic == NANOVDB_MAGIC else "OpenVDB"
+    elif suffix == ".nvdb":
+        vol = load_nanovdb(path)
+    elif suffix == ".vdb":
         raise NotImplementedError(
-            f"{kind} ingest: convert {path.name} to .npy first, e.g.\n"
-            "  import openvdb; grid = openvdb.read(path, 'density')\n"
-            "  dense = grid.copyToArray(...); np.save('density.npy', dense)\n"
-            "(the tree formats are not parsed natively here)"
+            f"OpenVDB ingest: convert {path.name} to .nvdb (nanovdb_convert) "
+            "or .npy first (the OpenVDB tree format is not parsed natively)"
         )
     else:
         raise ValueError(f"unsupported volume format {suffix!r}")

@@ -283,12 +283,30 @@ def make_brick_encode(
                 cs_ext = jnp.concatenate(
                     [jnp.zeros((ng, 1, lanes), cs.dtype), cs], axis=1
                 )
+                # batched coarse histogram for the whole group: ONE einsum
+                # (per-level exact_histogram calls are launch-overhead-bound:
+                # 1.3 ms each vs ~0.2 ms/level batched on v5e)
+                bins_g = max(
+                    -(-(level_sizes[l] // G) // 128) * 128 for l in grp
+                )
+                kgc = kg // G
+                Hh = bins_g // 128
+                Ah = (
+                    (kgc >> 7)[..., None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (1, 1, Hh), 2)
+                ).astype(jnp.bfloat16)
+                Bl = (
+                    (kgc & 127)[..., None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+                ).astype(jnp.bfloat16)
+                counts_g = jnp.einsum(
+                    "gnh,gnl->ghl", Ah, Bl, preferred_element_type=jnp.float32
+                ).reshape(ng, bins_g)
                 for gi, l in enumerate(grp):
                     m = level_sizes[l]
                     kl = kg[gi]
                     mg = m // G  # coarse rows (m % 128 == 0 ⇒ integral)
-                    bins = -(-mg // 128) * 128
-                    counts = exact_histogram(kl // G, bins)
+                    counts = counts_g[gi]
                     b = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(counts)])
                     b = jax.lax.optimization_barrier(b.astype(jnp.int32)[: mg + 1])
                     # barrier the PER-LEVEL 2D buffer: a gather whose operand

@@ -790,8 +790,13 @@ class Testbed:
         for s in range(spp):
             jitter = None
             if spp > 1:
-                self._rng, k = jax.random.split(self._rng)
-                jitter = jax.random.uniform(k, (width * height, 2))
+                # Halton(2,3) + per-pixel scramble (reference random_val.cuh
+                # LDS pixel offsets) — faster spp convergence than iid
+                from nerfshop_tpu.ops import sampling as sampling_lib
+
+                jitter = jnp.asarray(
+                    sampling_lib.spp_jitter(s, width * height, seed=self.stats.step)
+                )
             dof_uv = None
             if self.dof > 0.0:
                 self._rng, k = jax.random.split(self._rng)

@@ -130,3 +130,23 @@ class TestTestbedLenses:
         blurred = tb.render(16, 12, spp=2)
         assert np.isfinite(blurred).all()
         assert np.abs(blurred - sharp).max() > 1e-4
+
+
+def test_spp_jitter_low_discrepancy():
+    """Halton spp jitter (reference random_val.cuh): valid range, per-pass
+    stratification, per-pixel decorrelation."""
+    import numpy as np
+
+    from nerfshop_tpu.ops import sampling
+
+    n = 256
+    passes = np.stack([sampling.spp_jitter(i, n) for i in range(8)])  # [8, n, 2]
+    assert (passes >= 0).all() and (passes < 1).all()
+    # per-pixel, the 8 pass offsets are Halton-stratified: mean ~0.5 with a
+    # much tighter spread than iid uniform's
+    m = passes.mean(axis=0)
+    assert np.abs(m - 0.5).mean() < 0.1
+    # different pixels get different (scrambled) sequences
+    assert np.abs(passes[:, 0] - passes[:, 1]).max() > 0.1
+    # deterministic
+    np.testing.assert_array_equal(sampling.spp_jitter(3, n), sampling.spp_jitter(3, n))

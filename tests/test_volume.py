@@ -67,13 +67,98 @@ def test_volume_ingest_npy(tmp_path):
     assert img.shape == (24, 24, 4)
 
 
-def test_volume_ingest_nvdb_hint(tmp_path):
-    import numpy as np
+def test_volume_ingest_vdb_hint(tmp_path):
+    """OpenVDB (not NanoVDB) still gets a conversion hint."""
     import pytest
 
     from nerfshop_tpu.data import volume_io
 
-    p = tmp_path / "x.nvdb"
-    p.write_bytes(volume_io.NANOVDB_MAGIC.to_bytes(8, "little") + b"\0" * 64)
-    with pytest.raises(NotImplementedError, match="NanoVDB"):
+    p = tmp_path / "x.vdb"
+    p.write_bytes(b"\x20\x42\x44\x56" + b"\0" * 64)
+    with pytest.raises(NotImplementedError, match="OpenVDB"):
+        volume_io.load_volume(p)
+
+
+def _write_test_nvdb(path, dense):
+    """Minimal uncompressed NanoVDB float-grid writer (ABI v32.3 layout per
+    the reference's vendored NanoVDB.h) used to exercise load_nanovdb."""
+    import struct
+
+    import numpy as np
+
+    X, Y, Z = dense.shape
+    leaves = []
+    for i0 in range(0, X, 8):
+        for j0 in range(0, Y, 8):
+            for k0 in range(0, Z, 8):
+                blk = np.zeros((8, 8, 8), np.float32)
+                sub = dense[i0:i0 + 8, j0:j0 + 8, k0:k0 + 8]
+                blk[: sub.shape[0], : sub.shape[1], : sub.shape[2]] = sub
+                if (blk != 0).any():
+                    leaves.append((i0, j0, k0, blk))
+
+    LEAF_SIZE = 96 + 512 * 4
+    tree_off = 672
+    root_off_rel = 64              # root right after TreeData
+    leaf_off_rel = 64 + 64         # leaves after the (tile-less) root
+    grid_size = tree_off + leaf_off_rel + LEAF_SIZE * len(leaves)
+
+    grid = bytearray(grid_size)
+    struct.pack_into("<Q", grid, 0, 0x304244566F6E614E)  # GridData.mMagic
+    # TreeData: mNodeOffset[4] (leaf, lower, upper, root), mNodeCount[3]
+    struct.pack_into("<4Q", grid, tree_off, leaf_off_rel, 0, 0, root_off_rel)
+    struct.pack_into("<3I", grid, tree_off + 32, len(leaves), 0, 0)
+    # RootData: mBBox(24) mTableSize(4) mBackground(4) ...
+    struct.pack_into("<I", grid, tree_off + root_off_rel + 24, 0)
+    struct.pack_into("<f", grid, tree_off + root_off_rel + 28, 0.0)
+    for n, (i0, j0, k0, blk) in enumerate(leaves):
+        base = tree_off + leaf_off_rel + n * LEAF_SIZE
+        struct.pack_into("<3i", grid, base, i0, j0, k0)
+        grid[base + 16 : base + 80] = b"\xff" * 64  # value mask: all active
+        grid[base + 96 : base + 96 + 2048] = blk.tobytes()  # i-major, k-fastest
+
+    name = b"density\x00"
+    header = struct.pack("<QIHH", 0x304244566F6E614E, 0, 1, 0)
+    meta = bytearray(176)
+    struct.pack_into("<4Q", meta, 0, grid_size, 0, 0, int((dense != 0).sum()))
+    struct.pack_into("<II", meta, 32, 1, 0)  # gridType=Float, gridClass
+    struct.pack_into("<6i", meta, 88, 0, 0, 0, X - 1, Y - 1, Z - 1)  # indexBBox
+    struct.pack_into("<I", meta, 136, len(name))  # nameSize
+    struct.pack_into("<4I", meta, 140, len(leaves), 0, 0, 0)  # nodeCount
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(bytes(meta))
+        f.write(name)
+        f.write(bytes(grid))
+
+
+def test_nanovdb_ingest(tmp_path):
+    """.nvdb files load natively (VERDICT r2 #9 / reference
+    src/testbed_volume.cu:563): sparse leaves place at their absolute
+    origins, untouched voxels read the background."""
+    import numpy as np
+
+    from nerfshop_tpu.data import volume_io
+
+    rng = np.random.default_rng(0)
+    dense = np.zeros((24, 16, 16), np.float32)
+    dense[2:10, 3:11, 4:12] = rng.uniform(0.1, 2.0, (8, 8, 8)).astype(np.float32)
+    dense[16:24, 8:16, 0:8] = rng.uniform(0.1, 1.0, (8, 8, 8)).astype(np.float32)
+    p = tmp_path / "vol.nvdb"
+    _write_test_nvdb(p, dense)
+    out = volume_io.load_volume(p)
+    assert out.shape == dense.shape
+    np.testing.assert_allclose(out, dense, atol=0)
+
+
+def test_nanovdb_rejects_compressed(tmp_path):
+    import struct
+
+    import pytest
+
+    from nerfshop_tpu.data import volume_io
+
+    p = tmp_path / "c.nvdb"
+    p.write_bytes(struct.pack("<QIHH", 0x304244566F6E614E, 0, 1, 1) + b"\x00" * 176)
+    with pytest.raises(NotImplementedError):
         volume_io.load_volume(p)
