@@ -101,7 +101,10 @@ def bench_train():
     float(np.asarray(ys["loss"])[-1])
     t_16 = time.perf_counter() - t0
     dt = (t_16 - t_one) / 15.0
-    return batch / dt, 1.0 / dt
+    # honesty extra: fraction of the 2^18-sample slab the march actually
+    # filled (the reference counts real samples; we report both bases)
+    fill = float(np.asarray(ys["measured_samples"]).mean()) / batch
+    return batch / dt, 1.0 / dt, fill
 
 
 def bench_render():
@@ -197,6 +200,60 @@ def bench_render_interactive():
     return 1.0 / dt, bake_layout_s
 
 
+def bench_edit_rebake():
+    """Edit → rebake latency for the interactive viewer loop (VERDICT r2
+    #3): bake_volume (256³ field eval through a cage-deformation operator
+    stack) + the shear-warp layout build. Warm timings — the viewer rebakes
+    with compiled programs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfshop_tpu.config import default_nerf_config
+    from nerfshop_tpu.editing.cage import Cage
+    from nerfshop_tpu.editing.operators import CageDeformationOp
+    from nerfshop_tpu.editing.tet_mesh import TetMesh
+    from nerfshop_tpu.models.nerf_network import build_nerf_network
+    from nerfshop_tpu.ops import coords
+    from nerfshop_tpu.geometry.mesh_io import TriMesh
+    from nerfshop_tpu.render import baked
+
+    def cube_mesh(lo, hi):
+        v = np.array(
+            [[lo, lo, lo], [hi, lo, lo], [lo, hi, lo], [hi, hi, lo],
+             [lo, lo, hi], [hi, lo, hi], [lo, hi, hi], [hi, hi, hi]], np.float32
+        )
+        f = np.array(
+            [[0, 2, 1], [1, 2, 3], [4, 5, 6], [5, 7, 6], [0, 1, 4], [1, 5, 4],
+             [2, 6, 3], [3, 6, 7], [0, 4, 2], [2, 4, 6], [1, 3, 5], [3, 7, 5]],
+            np.int32,
+        )
+        return TriMesh(v, f)
+
+    model = build_nerf_network(default_nerf_config(), aabb_scale=1)
+    params = model.init(jax.random.PRNGKey(0))
+    aabb = coords.BoundingBox.from_aabb_scale(1)
+
+    cage = Cage.from_mesh(cube_mesh(0.35, 0.65))
+    tm = TetMesh.from_cage(cage, ideal_edge=0.08)
+    tm.update_deformed(cage)
+
+    def rebake(offset):
+        t0 = time.perf_counter()
+        cage.translate(np.asarray([offset, 0.0, 0.0], np.float32))
+        tm.update_deformed(cage)
+        op = CageDeformationOp.from_tet_mesh(tm)  # per-drag LUT rebuild
+        t_lut = time.perf_counter() - t0
+        vol = baked.bake_volume(model, params, aabb, resolution=256, operators=(op,))
+        jax.block_until_ready(vol.fields[0])
+        float(np.asarray(vol.fields[0][0, 0, 0, 0]))
+        return t_lut, time.perf_counter() - t0
+
+    rebake(0.05)  # warm/compile
+    t_lut, t_total = rebake(0.02)  # moved cage: fresh args, no memoization
+    return t_total, t_lut
+
+
 def bench_field_eval():
     import jax
     import jax.numpy as jnp
@@ -246,9 +303,10 @@ def bench_field_eval():
 
 
 def main():
-    train_sps, steps_per_sec = bench_train()
+    train_sps, steps_per_sec, slab_fill = bench_train()
     fps = bench_render()
     fps_interactive, bake_s = bench_render_interactive()
+    rebake_s, rebake_lut_s = bench_edit_rebake()
     field = bench_field_eval()
     print(
         json.dumps(
@@ -259,10 +317,14 @@ def main():
                 "vs_baseline": train_sps / BASELINE_TRAIN_SAMPLES_PER_SEC,
                 "extras": {
                     "train_steps_per_sec_batch2^18": steps_per_sec,
+                    "train_slab_fill_frac": slab_fill,
+                    "train_measured_samples_per_sec": train_sps * slab_fill,
                     "render_fps_1080p_exact": fps,
                     "render_fps_1080p_interactive_baked": fps_interactive,
                     "render_fps_vs_baseline": fps_interactive / BASELINE_FPS_1080P,
                     "bake_layout_seconds": bake_s,
+                    "edit_rebake_seconds": rebake_s,
+                    "edit_rebake_lut_seconds": rebake_lut_s,
                     "field_eval_samples_per_sec": field,
                     "field_eval_vs_north_star": field / BASELINE_FIELD_EVAL,
                 },

@@ -47,7 +47,7 @@ def project_selection_rays(
     aabb,
     cone_angle: float = 0.0,
     transmittance_threshold: float = 1e-1,
-    k_samples: int = 64,
+    k_samples: int = 128,
 ):
     """March scribble rays, composite density only, return the first point
     where transmittance drops below the threshold (the 'surface' hit).
@@ -59,10 +59,15 @@ def project_selection_rays(
 
     origins = jnp.asarray(origins, jnp.float32)
     directions = jnp.asarray(directions, jnp.float32)
+    # STRATIFIED spread over the whole occupied path: cameras inside a
+    # large-aabb_scale scene start marching at t≈0, and "first"-K samples
+    # would all land in near-camera free space — the surface beyond never
+    # accumulates opacity and every scribble missed (fox, aabb_scale 4)
     samples = march.march_rays(
         origins, directions, grid.occupancy, aabb.min, aabb.max,
         jnp.asarray(cone_angle), k_samples=k_samples,
         density_grid=grid.density, use_grid_early_stop=True,
+        selection="spread", t_start_min=0.05,
     )
     Rn, K = samples.t.shape
     pos_w, _ = march.samples_to_network_inputs(samples, origins, directions, aabb)

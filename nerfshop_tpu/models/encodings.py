@@ -238,6 +238,13 @@ class GridEncoding(Encoding):
             local = (hashed % m + x0u) % m
         return local.astype(jnp.int32) + self.level_offsets[l], w_yz, fx
 
+    def build_brick_tables(self, table: jnp.ndarray) -> list:
+        """Prebuild the per-level [m, 2^D·F] brick tables for inference-time
+        injection as ``params['brick_tables']`` (skips the per-dispatch
+        roll+concat build inside apply). Barriered so chunk programs gather
+        from materialized buffers."""
+        return [jax.lax.optimization_barrier(b) for b in self._brick_tables(table)]
+
     def _brick_tables(self, table: jnp.ndarray) -> list:
         """Canonical table [Σm, F] → per-level brick tables [[m_l, 2^D·F]]:
         corner c's features live at columns [cF, (c+1)F) of the row at the
@@ -304,8 +311,20 @@ class GridEncoding(Encoding):
 
             idx, w1 = self._brick_fracs(x)  # [L, N], [L, N, D]
             w8 = table_ops.corner_products(w1)  # [L, N, 2^D]
-            out = self._brick_encode(table, idx, w8, w1)  # [L, N, F]
             L, N = idx.shape
+            bricks = params.get("brick_tables") if isinstance(params, dict) else None
+            if bricks is not None:
+                # inference fast path: PREBUILT brick tables (one build per
+                # bake instead of per chunk dispatch — 12x on bake_volume).
+                # Same stacked-einsum structure as the fused op.
+                C = 1 << self.n_input_dims
+                F = self.n_features_per_level
+                feats = jnp.stack(
+                    [jnp.take(bricks[l], idx[l], axis=0) for l in range(self.n_levels)]
+                ).reshape(L, N, C, F)
+                out = jnp.einsum("lnc,lncf->lnf", w8.astype(feats.dtype), feats)
+            else:
+                out = self._brick_encode(table, idx, w8, w1)  # [L, N, F]
             return out.transpose(1, 0, 2).reshape(N, self.n_output_dims)
         if self.layout == "paired":
             # doubled table: row i = (canon[i], canon[i+1]) → one row-gather

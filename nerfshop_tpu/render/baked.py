@@ -114,6 +114,9 @@ def bake_volume(
     occupied cells so vanished/empty space stays empty in the bake (the
     same masking the march applies per sample).
     """
+    from nerfshop_tpu.render.renderer import _prepare_render_params
+
+    params = _prepare_render_params(model, params)
     B = resolution
     lo = jnp.asarray(aabb.min, jnp.float32)
     hi = jnp.asarray(aabb.max, jnp.float32)

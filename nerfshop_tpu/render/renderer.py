@@ -160,17 +160,21 @@ def _eval_window(
         budget = int(R * K * opts.compact_frac)
         budget = -(-budget // 256) * 256 if budget > 0 else 0
         ex = None
-        if extra is not None and model.n_extra_dims:
+        if extra is not None and getattr(model, "n_extra_dims", 0):
             ex = jnp.broadcast_to(extra[None, :], (R * K, extra.shape[-1]))
-        if 0 < budget < R * K:
-            rgb, sigma = _compacted_field_eval(
-                lambda p, d: model(params, p, d, extra=(
-                    jnp.broadcast_to(extra[None, :], (p.shape[0], extra.shape[-1]))
-                    if ex is not None else None)),
-                flat_pos, flat_dir, samples.valid.reshape(-1), budget,
+        if ex is not None:
+            field = lambda p, d: model(
+                params, p, d,
+                extra=jnp.broadcast_to(extra[None, :], (p.shape[0], extra.shape[-1])),
             )
         else:
-            rgb, sigma = model(params, flat_pos, flat_dir, extra=ex)
+            field = lambda p, d: model(params, p, d)
+        if 0 < budget < R * K:
+            rgb, sigma = _compacted_field_eval(
+                field, flat_pos, flat_dir, samples.valid.reshape(-1), budget
+            )
+        else:
+            rgb, sigma = field(flat_pos, flat_dir)
         rgb_s = rgb.reshape(R, K, 3)
         sigma = sigma.reshape(R, K)
 
@@ -372,6 +376,7 @@ def _eval_tile_chunk(
     bg: jnp.ndarray,
     operators: tuple = (),
     envmap: Optional[jnp.ndarray] = None,
+    extra: Optional[jnp.ndarray] = None,  # [E] per-frame extra dims
 ):
     """Eval phase: slab-wise field evaluation over the shared tile slots
     with front-to-back carry so saturated rays invalidate later slabs (the
@@ -380,7 +385,9 @@ def _eval_tile_chunk(
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
     Tc, P = origins.shape[:2]
     K_slab = opts.k_samples
-    n_slabs = max(1, opts.n_windows)
+    # the caller may pass a TRUNCATED slot budget (phase-3 bucketing:
+    # shallow tiles ship only the slots their march produced)
+    n_slabs = max(1, min(max(1, opts.n_windows), -(-t_slots.shape[1] // K_slab)))
     K_total = K_slab * n_slabs
 
     R = Tc * P
@@ -500,6 +507,10 @@ def render_frame_tiled(
     bg = jnp.asarray(opts.background, jnp.float32)
     operators = tuple(operators)
     op_kinds = tuple(type(op).__name__ for op in operators)
+    # NOTE: brick-table prebuild injection (_prepare_render_params) helps
+    # bake_volume 12x but REGRESSED the tiled eval 2.4x on v5e (gathers
+    # from large argument buffers lose the fusion the in-program build
+    # gets) — measured, so only the baker injects.
     Wt, Ht = -(-W // tile), -(-H // tile)
     Wp, Hp = Wt * tile, Ht * tile
     P = tile * tile
@@ -537,7 +548,7 @@ def render_frame_tiled(
             b = rays_lib.rays_for_image((Wt, Ht), xf, f / tile, pp, dist, None)
             return b.origins, b.directions
 
-        center_fn = jax.jit(_centers)
+        center_fn = _AotOnFirstCall(_centers)
         _RAYS_FN_CACHE[rkey] = center_fn
     co, cd = center_fn(xform, focal, principal, distortion)
 
@@ -552,7 +563,7 @@ def render_frame_tiled(
                 n_candidates=opts.n_candidates, intersect_margin=2 * cell,
             )
 
-        cull_fn = jax.jit(_cull)
+        cull_fn = _AotOnFirstCall(_cull)
         _CULL_FN_CACHE[ckey_cull] = cull_fn
     occ_mask = np.asarray(cull_fn(co, cd, coarse5))
     if envmap is not None:
@@ -578,7 +589,7 @@ def render_frame_tiled(
                     coarse5, fine_dil, n_casc, c_o, c_d, opts, fine_undil
                 )
 
-            march_fn = jax.jit(_mfn)
+            march_fn = _AotOnFirstCall(_mfn)
             _CHUNK_FN_CACHE[mkey] = march_fn
 
         sel0_pad = np.concatenate([sel0, np.full((-len(sel0)) % tc, sel0[-1], sel0.dtype)])
@@ -604,37 +615,61 @@ def render_frame_tiled(
         keep = np.empty((0,), np.int64)
 
     if len(keep):
-        # --- phase 3: field eval only for tiles with actual march samples
-        ekey = (id(model), opts, tc, P, op_kinds, envmap is not None, n_casc,
-                Wt, Wp, Hp, distortion is not None, "tile-eval")
-        eval_fn = _CHUNK_FN_CACHE.get(ekey)
-        if eval_fn is None:
-            def _efn(params, sel_chunk, xf, f, pp, dist, t_c, dt_c, v_c, bg, operators, envmap):
-                o, d, _, _ = _tile_pixel_rays(sel_chunk, Wt, tile, (Wp, Hp), xf, f, pp, dist)
-                return _eval_tile_chunk(
-                    model, params, o, d, t_c, dt_c, v_c, opts, bg, operators, envmap
-                )
+        # --- phase 3: field eval only for tiles with actual march samples,
+        # BUCKETED by sample count: a tile whose march produced n slots only
+        # needs the smallest ceil(n / k_samples) window slab (slots are
+        # front-packed ascending), so shallow tiles — the majority once the
+        # grid early-stop saturates — evaluate 32 slots instead of 64.
+        # The n_all host sync already exists; bucketing costs nothing extra.
+        def _eval_bucket(keep_b, bs):
+            ekey = (id(model), opts, tc, P, op_kinds, envmap is not None, n_casc,
+                    Wt, Wp, Hp, distortion is not None, "tile-eval", bs)
+            eval_fn = _CHUNK_FN_CACHE.get(ekey)
+            if eval_fn is None:
+                def _efn(params, sel_chunk, xf, f, pp, dist, t_c, dt_c, v_c, bg, operators, envmap):
+                    o, d, _, _ = _tile_pixel_rays(sel_chunk, Wt, tile, (Wp, Hp), xf, f, pp, dist)
+                    return _eval_tile_chunk(
+                        model, params, o, d, t_c, dt_c, v_c, opts, bg, operators, envmap
+                    )
 
-            eval_fn = jax.jit(_efn)
-            _CHUNK_FN_CACHE[ekey] = eval_fn
+                eval_fn = _AotOnFirstCall(_efn)
+                _CHUNK_FN_CACHE[ekey] = eval_fn
 
-        keep_pad = np.concatenate([keep, np.full((-len(keep)) % tc, keep[-1], keep.dtype)])
-        keep_j = jnp.asarray(keep_pad)
-        sel1_j = jnp.asarray(sel0_pad)[keep_j]  # tile ids in the full grid
-        t_s = jnp.take(t_all, keep_j, axis=0)
-        dt_s = jnp.take(dt_all, keep_j, axis=0)
-        v_s = jnp.take(v_all, keep_j, axis=0)
-        rgba_chunks, depth_chunks = [], []
-        for i in range(len(keep_pad) // tc):
-            s = slice(i * tc, (i + 1) * tc)
-            rgba_c, depth_c = eval_fn(
-                params, sel1_j[s], xform, focal, principal, distortion,
-                t_s[s], dt_s[s], v_s[s], bg, operators, envmap,
+            keep_pad = np.concatenate(
+                [keep_b, np.full((-len(keep_b)) % tc, keep_b[-1], keep_b.dtype)]
             )
-            rgba_chunks.append(rgba_c)
-            depth_chunks.append(depth_c)
-        rgba = rgba.at[sel1_j].set(jnp.concatenate(rgba_chunks)[: len(keep_pad)])
-        depth = depth.at[sel1_j].set(jnp.concatenate(depth_chunks)[: len(keep_pad)])
+            keep_j = jnp.asarray(keep_pad)
+            sel1_j = jnp.asarray(sel0_pad)[keep_j]  # tile ids in the full grid
+            t_s = jnp.take(t_all, keep_j, axis=0)[:, :bs]
+            dt_s = jnp.take(dt_all, keep_j, axis=0)[:, :bs]
+            v_s = jnp.take(v_all, keep_j, axis=0)[:, :bs]
+            rgba_chunks, depth_chunks = [], []
+            for i in range(len(keep_pad) // tc):
+                s = slice(i * tc, (i + 1) * tc)
+                rgba_c, depth_c = eval_fn(
+                    params, sel1_j[s], xform, focal, principal, distortion,
+                    t_s[s], dt_s[s], v_s[s], bg, operators, envmap,
+                )
+                rgba_chunks.append(rgba_c)
+                depth_chunks.append(depth_c)
+            return sel1_j, jnp.concatenate(rgba_chunks)[: len(keep_pad)], jnp.concatenate(
+                depth_chunks
+            )[: len(keep_pad)]
+
+        slabs = [opts.k_samples * (w + 1) for w in range(max(1, opts.n_windows))]
+        n_keep = n_all[keep]
+        lo = 0
+        for bs in slabs:
+            sub = keep[(n_keep > lo) & (n_keep <= bs)] if bs != slabs[-1] else keep[n_keep > lo]
+            if bs == slabs[0] and envmap is not None:
+                # envmap tiles with n == 0 still composite the background
+                sub = keep[(n_keep <= bs)] if len(slabs) > 1 else keep
+            lo = bs
+            if not len(sub):
+                continue
+            sel1_j, rgba_b, depth_b = _eval_bucket(sub, bs)
+            rgba = rgba.at[sel1_j].set(rgba_b)
+            depth = depth.at[sel1_j].set(depth_b)
 
     rgba = rgba.reshape(Ht, Wt, tile, tile, 4)
     rgba = rgba.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 4)[:H, :W]
@@ -643,16 +678,43 @@ def render_frame_tiled(
     return FrameOutput(rgba, depth)
 
 
+class _AotOnFirstCall:
+    """jit wrapper that AOT-compiles on first invocation and then calls the
+    Compiled executable directly. Plain jit dispatch (tracing-cache lookup,
+    arg canonicalization, pytree checks in Python) costs ~10-20 ms per call
+    on a 1-core host — a 1080p frame makes 40-250 chunk calls, so dispatch
+    alone was multiple SECONDS of the exact path's frame time (the same fix
+    baked.py:438-446 applies to its frame fn)."""
+
+    def __init__(self, fn):
+        self._jit = jax.jit(fn)
+        self._compiled = {}
+
+    def __call__(self, *args):
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        sig = (
+            treedef,
+            tuple(
+                (getattr(l, "shape", ()), str(getattr(l, "dtype", type(l))))
+                for l in leaves
+            ),
+        )
+        compiled = self._compiled.get(sig)
+        if compiled is None:
+            compiled = self._compiled[sig] = self._jit.lower(*args).compile()
+        return compiled(*args)
+
+
 def _make_chunk_fn(model, opts: RenderOptions):
     """Compiled per-chunk program: rays [chunk] → rgba/depth. One dispatch
     per chunk keeps any single device program bounded (~1 s) — a whole-frame
     ``lax.map`` program at 1080p ran for minutes and tripped the TPU-worker
-    watchdog; per-dispatch overhead is ~50 µs so looping costs nothing."""
+    watchdog."""
 
     def chunk_fn(params, grid, origins, dirs, bg, operators, envmap, extra=None):
         return _render_chunk(model, params, grid, origins, dirs, opts, bg, operators, envmap, extra)
 
-    return jax.jit(chunk_fn)
+    return _AotOnFirstCall(chunk_fn)
 
 
 def _make_rays_fn(resolution, lens: str = "pinhole", aperture: float = 0.0, focus_z: float = 1.0):
@@ -678,6 +740,33 @@ def _make_rays_fn(resolution, lens: str = "pinhole", aperture: float = 0.0, focu
 #: because models are plain dataclasses; they are immutable in practice.
 _CHUNK_FN_CACHE: dict = {}
 _RAYS_FN_CACHE: dict = {}
+_BRICK_PREP_CACHE: dict = {}
+
+
+def _prepare_render_params(model, params):
+    """Inject prebuilt brick tables for brick-layout hash grids: ONE
+    roll+concat build per frame (cached while the table is unchanged)
+    instead of one inside every chunk dispatch (~5 ms × 40+ chunks/frame
+    at 1080p)."""
+    enc = getattr(model, "pos_encoding", None)
+    if enc is None or getattr(enc, "layout", None) != "brick":
+        return params
+    pe = params.get("pos_encoding") if isinstance(params, dict) else None
+    if not isinstance(pe, dict) or "brick_tables" in pe or "table" not in pe:
+        return params
+    entry = _BRICK_PREP_CACHE.get(id(enc))
+    table = pe["table"]
+    if entry is None or entry[0] is not table:
+        fn = entry[2] if entry is not None else jax.jit(enc.build_brick_tables)
+        entry = (table, fn(table), fn)
+        _BRICK_PREP_CACHE[id(enc)] = entry
+        if len(_BRICK_PREP_CACHE) > 4:
+            _BRICK_PREP_CACHE.pop(next(iter(_BRICK_PREP_CACHE)))
+    pe = dict(pe)
+    pe["brick_tables"] = entry[1]
+    out = dict(params)
+    out["pos_encoding"] = pe
+    return out
 
 
 def render_frame(
@@ -724,7 +813,7 @@ def render_frame(
         fkw["dof_uv"] = dof_uv
     origins, dirs = rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad, **fkw)
 
-    ckey = (id(model), opts, chunk, op_kinds, envmap is not None)
+    ckey = (id(model), opts, chunk, op_kinds, envmap is not None, extra_dims is not None)
     chunk_fn = _CHUNK_FN_CACHE.get(ckey)
     if chunk_fn is None:
         chunk_fn = _make_chunk_fn(model, opts)

@@ -74,9 +74,23 @@ def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.n
     pos_w = jnp.clip(coords.warp_position(p, aabb), 0.0, 1.0)
     dir_w = coords.warp_direction(dvec)
     rgb, sigma = model(params, pos_w, dir_w)
-    sigma = jnp.where(empty, 0.0, sigma) + rs
-    rgb = jnp.clip(rgb + rc, 0.0, None)
-    touched = empty | (jnp.linalg.norm(p - pos_world, axis=-1) > 1e-6) | (rs != 0.0)
+    sigma = jnp.where(empty, 0.0, sigma)
+    on = rs > 1e-9
+    if jnp.ndim(rs) and operators:
+        # membrane blend, REFERENCE semantics (composite_kernel_nerf
+        # testbed_nerf.cu:770-805, poisson_target): density clamped between
+        # the receiving scene's own value at the sample and src+residual —
+        # the raw additive form stacks walls of residual density (σ+~100)
+        # that destabilize the distillation student (NaN within steps);
+        # color mixed by the σ-ratio (the dt→0 limit of the α-ratio).
+        sigma_tgt = model.density(params, jnp.clip(coords.warp_position(pos_world, aabb), 0.0, 1.0))
+        sigma_new = jnp.minimum(jnp.maximum(sigma_tgt, sigma), sigma + rs)
+        den = sigma + rs
+        w_n = jnp.where(den > 1e-9, sigma / jnp.maximum(den, 1e-9), 1.0)
+        rgb_mix = w_n[:, None] * rgb + (1.0 - w_n)[:, None] * rc
+        sigma = jnp.where(on, sigma_new, sigma)
+        rgb = jnp.where(on[:, None], rgb_mix, rgb)
+    touched = empty | (jnp.linalg.norm(p - pos_world, axis=-1) > 1e-6) | on
     return rgb, sigma, touched
 
 

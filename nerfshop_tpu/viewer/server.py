@@ -91,7 +91,7 @@ class ViewerServer:
         return {"loss": float(loss), "step": self.tb.stats.step}
 
     def state(self) -> dict:
-        return {
+        out = {
             "camera": np.asarray(self.tb.camera_matrix).tolist(),
             "fov_deg": self.tb.fov_deg,
             "step": self.tb.stats.step,
@@ -99,7 +99,15 @@ class ViewerServer:
             "n_operators": len(self.tb.edit_operators),
             "edit_stage": None if self._gs is None else self._gs.stage.name,
             "last_rebake_s": self.last_rebake_s,
+            # loss-graph panel data (reference: ImPlot loss graph,
+            # src/testbed.cu:2113)
+            "loss_history": [[int(s), float(l)] for s, l in self.tb.loss_history[-256:]],
         }
+        # cage-vertex handles for the client gizmo
+        gs = self._gs
+        if gs is not None and getattr(gs, "cage", None) is not None:
+            out["cage_vertices"] = np.asarray(gs.cage.vertices_deformed).tolist()
+        return out
 
     def edit(self, verb: str, req: dict) -> dict:
         import jax.numpy as jnp
@@ -143,6 +151,15 @@ class ViewerServer:
             elif verb == "translate":
                 self._gs.copy_mode = bool(req.get("copy", False))
                 self._gs.translate_cage(np.asarray(req.get("offset", [0, 0, 0]), np.float32))
+            elif verb == "set_cage_vertices":
+                # per-vertex gizmo drag (reference: ImGuizmo manipulation in
+                # visualize_edit_gui, growing_selection.cu:459-658)
+                self._gs.set_cage_vertices(np.asarray(req["vertices"], np.float32))
+            elif verb == "move_vertex":
+                # single-handle drag: index + new world position
+                v = np.asarray(self._gs.cage.vertices_deformed, np.float32).copy()
+                v[int(req["index"])] = np.asarray(req["position"], np.float32)
+                self._gs.set_cage_vertices(v)
             elif verb == "apply":
                 op = self._gs.make_operator()
                 tb.add_edit_operator(op)

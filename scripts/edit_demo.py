@@ -84,17 +84,20 @@ def main():
     intr = ds.intrinsics[view]
     xf = jnp.asarray(ds.xforms[view])
 
+    tb.nerf.render_min_transmittance = 1e-4  # eval protocol
+    tb.background_color = np.asarray([0, 0, 0, 1], np.float32)
+    tb.dynamic_res = False
+
     def render_view(operators, label):
-        opts = renderer.RenderOptions(
-            aabb_scale=tb._train_cfg.aabb_scale, cone_angle=tb._train_cfg.cone_angle,
-            min_transmittance=1e-4, k_samples=64, n_windows=2,
+        # the Testbed render path — identical conventions to the run.py
+        # eval protocol that produces the committed fox PSNR numbers
+        img = np.asarray(
+            tb.render(
+                W, H, spp=2, linear=False,
+                camera_matrix=ds.xforms[view], focal=intr.focal,
+                principal=intr.principal, distortion=intr.distortion,
+            )
         )
-        out = renderer.render_frame(
-            tb._model, tb._state.inference_params, tb._grid, (W, H),
-            xf, jnp.asarray(intr.focal), jnp.asarray(intr.principal),
-            opts=opts, operators=tuple(operators),
-        )
-        img = np.asarray(out.rgba)
         image_io.write_image(str(out_dir / f"{label}.png"), img, linear_input=False)
         return img
 

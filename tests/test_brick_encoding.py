@@ -188,3 +188,16 @@ def test_brick_encode_packed_forward_matches_unpacked():
         expect.append(jnp.einsum("nc,ncf->nf", w[l], feats))
     expect = jnp.stack(expect).transpose(1, 0, 2).reshape(x.shape[0], -1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5, atol=1e-6)
+
+
+def test_brick_prebuilt_tables_inference_path():
+    """params['brick_tables'] (renderer injection) gives identical values to
+    the fused op path."""
+    enc = _mk("brick", n_levels=3, base_resolution=8, log2_hashmap_size=10)
+    params = enc.init(jax.random.PRNGKey(0))
+    params["table"] = jax.random.normal(jax.random.PRNGKey(1), params["table"].shape) * 0.1
+    x = jax.random.uniform(jax.random.PRNGKey(2), (300, 3))
+    base = enc.apply(params, x)
+    pre = {**params, "brick_tables": enc.build_brick_tables(params["table"])}
+    fast = enc.apply(pre, x)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base), rtol=1e-6, atol=1e-7)

@@ -72,3 +72,26 @@ def test_edit_verbs(viewer):
 def test_unknown_verb(viewer):
     out = json.loads(_post(viewer, "/edit/nonsense", {}).read())
     assert out["ok"] is False
+
+
+def test_cage_vertex_gizmo_and_state_extras(viewer):
+    """VERDICT r2 #10: cage-vertex manipulation endpoint (the ImGuizmo
+    analog), cage handles + loss history surfaced in /state."""
+    out = json.loads(_post(viewer, "/edit/select_sphere",
+                           {"center": [0.5, 0.5, 0.5], "radius": 0.12}).read())
+    assert out["ok"]
+    _post(viewer, "/edit/compute_proxy", {})
+    _post(viewer, "/edit/extract_cage", {})
+    state = json.loads(urllib.request.urlopen(viewer + "/state", timeout=30).read())
+    assert "cage_vertices" in state and len(state["cage_vertices"]) > 3
+    assert len(state["loss_history"]) > 0
+    v = np.asarray(state["cage_vertices"], np.float32)
+    out = json.loads(_post(viewer, "/edit/move_vertex",
+                           {"index": 0, "position": (v[0] + 0.05).tolist()}).read())
+    assert out["ok"]
+    state2 = json.loads(urllib.request.urlopen(viewer + "/state", timeout=30).read())
+    v2 = np.asarray(state2["cage_vertices"], np.float32)
+    assert np.allclose(v2[0], v[0] + 0.05, atol=1e-5)
+    out = json.loads(_post(viewer, "/edit/set_cage_vertices",
+                           {"vertices": v.tolist()}).read())
+    assert out["ok"]
