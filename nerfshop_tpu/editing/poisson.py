@@ -101,10 +101,23 @@ def membrane_residuals_at(
     direction: jnp.ndarray,  # [N, 3] unwarped view dirs (canonical space)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (residual σ [N], residual rgb [N,3]) for samples in the deformed
-    region (compute_poisson_full_residuals, cage_deformation.cu:431-541)."""
-    resid_sigma = jnp.einsum("nk,nk->n", bary, membrane.density[tet])
-    sh = jnp.einsum("nk,nkqc->nqc", bary, membrane.sh[tet])
-    resid_rgb = sh_lib.evaluate_sh9(sh, direction)
+    region (compute_poisson_full_residuals, cage_deformation.cu:431-541).
+
+    2D-only shapes: a [N,4,9,3] gather tile-pads its (9,3) minor dims ~57×
+    on TPU — at a render chunk's N it blew HBM at COMPILE time. Per-corner
+    [N,27] row-gathers + a strided-slice SH evaluation stay dense."""
+    dens4 = jnp.take(membrane.density, tet, axis=0)  # [N, 4]
+    resid_sigma = jnp.sum(bary * dens4, axis=1)
+    msh = membrane.sh.reshape(membrane.sh.shape[0], 4, 27)
+    sh27 = None
+    for k in range(4):
+        rows = jnp.take(msh[:, k, :], tet, axis=0)  # [N, 27]
+        term = bary[:, k : k + 1] * rows
+        sh27 = term if sh27 is None else sh27 + term
+    basis = sh_lib.sh9_basis(direction)  # [N, 9]
+    resid_rgb = jnp.stack(
+        [jnp.sum(basis * sh27[:, c::3], axis=1) for c in range(3)], axis=-1
+    )
     amp = membrane.amplitude
     z = jnp.zeros_like(resid_sigma)
     return (

@@ -30,6 +30,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="/root/reference/data/nerf/fox")
     ap.add_argument("--snapshot", default="", help="load instead of training")
+    ap.add_argument("--save_snapshot", default="", help="save after training")
     ap.add_argument("--train_steps", type=int, default=2000)
     ap.add_argument("--distill_steps", type=int, default=1500)
     ap.add_argument("--batch_size", type=int, default=1 << 18)
@@ -72,6 +73,9 @@ def main():
             print(f"  step {done:6d}  loss {loss:.6f}", flush=True)
         train_s = time.perf_counter() - t0
         print(f"trained {args.train_steps} steps in {train_s:.1f}s", flush=True)
+        if args.save_snapshot:
+            tb.save_snapshot(args.save_snapshot)
+            print(f"snapshot saved to {args.save_snapshot}", flush=True)
 
     aabb = coords.BoundingBox.from_aabb_scale(tb._train_cfg.aabb_scale)
     tf = os.path.join(args.scene, "transforms.json")
@@ -164,8 +168,14 @@ def main():
     img_distilled = render_view((), "3_distilled")
     tb._state = teacher_state
 
-    m = np.isfinite(img_edited[..., 0])
-    psnr_distill = float(metrics.psnr(img_distilled[..., :3], img_edited[..., :3]))
+    # compare only over finite pixels of both renders (a NaN anywhere —
+    # e.g. an empty-ray depth sentinel — would otherwise NaN the PSNR)
+    fin = np.isfinite(img_edited[..., :3]).all(-1) & np.isfinite(
+        img_distilled[..., :3]
+    ).all(-1)
+    psnr_distill = float(
+        metrics.psnr(img_distilled[..., :3][fin], img_edited[..., :3][fin])
+    )
     result = {
         "metric": "edit_demo",
         "scene": args.scene,
