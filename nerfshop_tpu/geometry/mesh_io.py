@@ -161,16 +161,68 @@ def load_mesh(path: str | Path) -> TriMesh:
     raise ValueError(f"unsupported mesh format {suffix}")
 
 
-def save_obj(path: str | Path, mesh: TriMesh) -> None:
+def _unwrap_atlas(n_faces: int):
+    """The reference's trivial per-triangle-pair quad atlas
+    (save_mesh src/marching_cubes.cu:779-785, 863-885): every two triangles
+    share one quadresx×quadresy texel quad laid out row-major; returns
+    (uv [3·F, 2] one vt per face corner, tex [texh, texw, 3] uint8 debug
+    texture with a flat pseudo-random color per triangle)."""
+    numquads = (n_faces + 1) // 2
+    numquadsx = max(4, int(np.sqrt(numquads) + 4) & ~3)
+    numquadsy = (numquads + numquadsx - 1) // numquadsx
+    quadresy = 8
+    quadresx = quadresy + 3
+    texw, texh = quadresx * numquadsx, quadresy * numquadsy
+
+    i = np.arange(3 * n_faces)
+    q = i // 6
+    x = (q % numquadsx) * quadresx
+    y = (q // numquadsx) * quadresy
+    d = quadresy - 1
+    m = i % 6
+    x = x + np.choose(m, [0, d, 0, 3, 3 + d, 3 + d])
+    y = y + np.choose(m, [0, d, d, 0, 0, d])
+    uv = np.stack([(x + 0.5) / texw, 1.0 - (y + 0.5) / texh], axis=-1)
+
+    yy, xx = np.mgrid[0:texh, 0:texw]
+    qq = xx // quadresx + (yy // quadresy) * numquadsx
+    t = qq * 2 + ((xx % quadresx) > (yy % quadresy) + 1)
+    tex = np.stack([(t * 923) & 255, (t * 3572) & 255, (t * 5423) & 255], -1)
+    return uv.astype(np.float32), tex.astype(np.uint8)
+
+
+def save_obj(path: str | Path, mesh: TriMesh, unwrap: bool = False) -> None:
     with open(path, "w") as f:
+        if unwrap:
+            f.write("mtllib nerf.mtl\n")
         if mesh.colors is not None:
             for v, c in zip(mesh.vertices, mesh.colors):
                 f.write(f"v {v[0]} {v[1]} {v[2]} {c[0]} {c[1]} {c[2]}\n")
         else:
             for v in mesh.vertices:
                 f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-        for face in mesh.faces + 1:
-            f.write(f"f {face[0]} {face[1]} {face[2]}\n")
+        if mesh.normals is not None:
+            for n in mesh.normals:
+                f.write(f"vn {n[0]} {n[1]} {n[2]}\n")
+        if unwrap:
+            uv, tex = _unwrap_atlas(mesh.n_faces)
+            for u in uv:
+                f.write(f"vt {u[0]:.5f} {u[1]:.5f}\n")
+            f.write("g default\nusemtl nerf\ns 1\n")
+            for fi, face in enumerate(mesh.faces + 1):
+                t = 3 * fi
+                f.write(
+                    f"f {face[0]}/{t + 1} {face[1]}/{t + 2} {face[2]}/{t + 3}\n"
+                )
+            try:
+                from PIL import Image
+
+                Image.fromarray(tex).save(Path(path).with_suffix(".png"))
+            except Exception:
+                pass
+        else:
+            for face in mesh.faces + 1:
+                f.write(f"f {face[0]} {face[1]} {face[2]}\n")
 
 
 def save_ply(path: str | Path, mesh: TriMesh) -> None:
@@ -194,10 +246,10 @@ def save_ply(path: str | Path, mesh: TriMesh) -> None:
             f.write(cnt[i].tobytes() + fb[i].tobytes())
 
 
-def save_mesh(path: str | Path, mesh: TriMesh) -> None:
+def save_mesh(path: str | Path, mesh: TriMesh, unwrap: bool = False) -> None:
     suffix = Path(path).suffix.lower()
     if suffix == ".obj":
-        save_obj(path, mesh)
+        save_obj(path, mesh, unwrap=unwrap)
     elif suffix == ".ply":
         save_ply(path, mesh)
     else:

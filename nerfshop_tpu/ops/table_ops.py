@@ -34,6 +34,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: default for make_brick_encode(use_pallas=None), read at TRACE time so
+#: probes/tests can A/B the backward without rebuilding the model.
+#: MEASURED (v5e, scratch/probe_segsum_tpu.py, 2^18 samples × 16 levels):
+#: the Pallas block-matmul segsum (ops/pallas_segsum.py) runs the isolated
+#: enc fwd+bwd chain at 665 ms vs 2.45 ms for this XLA pipeline (the
+#: rb=16-row DMA subchunks are latency-bound and the per-block one-hot
+#: construction swamps the MXU win); full train step 697 vs 130 ms. The
+#: kernel + tests stay as the recorded negative result — default OFF.
+USE_PALLAS = False
+
 
 def exact_histogram(idx: jnp.ndarray, m: int) -> jnp.ndarray:
     """Histogram of ``idx`` [N] int32 ∈ [0, m) over ``m`` bins (m % 128 == 0),
@@ -115,6 +125,7 @@ def make_brick_encode(
     *,
     force_segment: bool = False,
     matmul_max: int = 0,
+    use_pallas: bool | None = None,
 ):
     """The fused brick-layout grid-encode op with a TPU-native backward.
 
@@ -234,6 +245,24 @@ def make_brick_encode(
             )
             sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
             kb_s = sorted_ops[0]
+        up = USE_PALLAS if use_pallas is None else use_pallas
+        if big and up and N % 128 == 0 and 128 % w == 0:
+            # Pallas path: one kernel per level turns the sorted stream into
+            # per-row sums with block-local one-hot MXU matmuls — no prefix
+            # arrays, histograms, or boundary gathers (ops/pallas_segsum.py).
+            from nerfshop_tpu.ops import pallas_segsum
+
+            for gi, l in enumerate(big):
+                w1_s = jnp.stack(
+                    [sorted_ops[1 + d][gi] for d in range(D)], axis=-1
+                )
+                d_s = jnp.stack(
+                    [sorted_ops[1 + D + f][gi] for f in range(F)], axis=-1
+                )
+                dB[l] = pallas_segsum.sorted_segment_rowsum(
+                    kb_s[gi], w1_s, d_s, level_sizes[l]
+                )
+        elif big:
             # G logical rows share one 128-lane group: place each sample's
             # w-wide cotangent at lane block (idx % G) and segment-sum over
             # the COARSE key idx//G — samples of different fine rows in the

@@ -78,6 +78,8 @@ class Testbed:
         self.background_color = np.array([0.0, 0.0, 0.0, 0.0], np.float32)
         self.dynamic_res = True
         self.dynamic_res_target_fps = 20.0
+        #: last frame() render (reference: the GL-blitted render buffer)
+        self.frame_buffer: Optional[np.ndarray] = None
         self.snap_to_pixel_centers = False
         #: depth of field (reference m_dof: lens aperture; 0 = pinhole) and
         #: focus distance; autofocus re-derives focus from center depth
@@ -536,11 +538,22 @@ class Testbed:
             self._model, self._train_cfg, trained_mask=mask
         )
 
+    #: frame() renders into ``self.frame_buffer`` at this (W, H) when a
+    #: model is loaded; None skips the render half of the loop
+    frame_resolution: Optional[Tuple[int, int]] = (320, 180)
+
     def frame(self) -> bool:
-        """One headless 'frame': train if enabled (reference frame loop)."""
+        """One headless 'frame': train-then-render, the reference frame loop
+        (Testbed::frame → draw_contents: train(16, 2^18) + dynamic-res
+        render_frame, src/testbed.cu:2044-2074, 1747-1827). The rendered
+        RGBA lands in ``self.frame_buffer`` ([H, W, 4], also returned by
+        the viewer); set ``frame_resolution = None`` to train-only."""
         t0 = time.perf_counter()
         if self.shall_train:
             self.train(DEFAULT_STEPS_PER_FRAME, DEFAULT_BATCH_SIZE)
+        if self.frame_resolution is not None and self._model is not None:
+            w, h = self.frame_resolution
+            self.frame_buffer = self.render_dynamic(w, h, spp=1)
         self.stats.frame_ms = (time.perf_counter() - t0) * 1e3
         return True
 
@@ -1200,14 +1213,17 @@ class Testbed:
 
     def compute_and_save_marching_cubes_mesh(
         self, filename: str, resolution: int = 256, density_threshold: float = 2.5,
-        optimize_steps: int = 0,
+        optimize_steps: int = 0, unwrap: bool = False,
     ) -> None:
+        """``unwrap`` writes the reference's per-triangle-pair quad-atlas
+        UVs + debug texture on .obj export (save_mesh
+        src/marching_cubes.cu:766-885, generate_uvs)."""
         from nerfshop_tpu.geometry import mesh_io
 
         mesh = self.compute_marching_cubes_mesh(resolution, density_threshold)
         if optimize_steps > 0:
             mesh = self.optimise_mesh(mesh, n_steps=optimize_steps, thresh=density_threshold)
-        mesh_io.save_mesh(filename, mesh)
+        mesh_io.save_mesh(filename, mesh, unwrap=unwrap)
 
     def optimise_mesh(self, mesh, n_steps: int = 100, thresh: float = 2.5,
                       density_amount: float = 0.001, smooth_amount: float = 4.0,

@@ -61,6 +61,15 @@ class DistillConfig:
     #: re-occupies that grid and renders as ghosts/haze. Uniform samples pin
     #: the whole volume to the teacher.
     n_free_samples: int = 16384
+    #: samples drawn uniformly inside each operator's source/target AABBs:
+    #: the vacated source region is EMPTY in the edited occupancy grid so
+    #: marched rays never supervise it, and at fox-scale aabbs the global
+    #: free samples land there with ~1e-3 probability — a warm-started
+    #: student keeps the original object in the hole (measured 16.9 dB vs
+    #: edited render). Dense in-region pinning is the TPU analog of the
+    #: reference's aux-ray duplication over edit regions
+    #: (generate_extra_training_samples_nerf_distill testbed_nerf.cu:1463).
+    n_edit_samples: int = 1 << 15
 
 
 def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.ndarray, dir_world: jnp.ndarray, aabb):
@@ -92,6 +101,38 @@ def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.n
         rgb = jnp.where(on[:, None], rgb_mix, rgb)
     touched = empty | (jnp.linalg.norm(p - pos_world, axis=-1) > 1e-6) | on
     return rgb, sigma, touched
+
+
+def _edit_region_bounds(operators: tuple, margin: float = 0.05):
+    """Per-operator (lo, hi) world-space AABBs of the edit-affected volume:
+    the SOURCE region (vacated cells the student must learn to empty) and
+    the TARGET region (where the moved content now lives). Computed from the
+    operator pytrees at trace time — shapes are static, values traced."""
+    from nerfshop_tpu.editing.operators import AffineDuplicationOp, CageDeformationOp
+
+    bounds = []
+    for op in operators:
+        if isinstance(op, CageDeformationOp):
+            for verts in (op.verts_orig, op.verts_def):
+                pts = verts.reshape(-1, 3)
+                lo, hi = jnp.min(pts, axis=0), jnp.max(pts, axis=0)
+                pad = margin * (hi - lo) + 1e-4
+                bounds.append((lo - pad, hi + pad))
+        elif isinstance(op, AffineDuplicationOp):
+            corners = (
+                jnp.asarray(
+                    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                    jnp.float32,
+                )
+                * op.box_half
+            )
+            src = corners @ op.box_rot + op.box_center  # box_rot rows = axes
+            tgt = src @ op.transform_rot.T + op.transform_t
+            for pts in (src, tgt):
+                lo, hi = jnp.min(pts, axis=0), jnp.max(pts, axis=0)
+                pad = margin * (hi - lo) + 1e-4
+                bounds.append((lo - pad, hi + pad))
+    return bounds
 
 
 def make_distill_step(
@@ -136,10 +177,28 @@ def make_distill_step(
         dir_w = coords.warp_direction(dir_world)
         vmask = samples.valid.reshape(-1)
 
-        # free-space pinning samples (uniform over the aabb)
+        # free-space pinning samples (uniform over the aabb) + dense
+        # edit-region samples (uniform in each operator's source/target AABB;
+        # see n_edit_samples) — supervised identically, so they simply extend
+        # the free batch
+        k_free, k_edit, k_edir = jax.random.split(k_free, 3)
         nf = cfg.n_free_samples
         pos_free = jax.random.uniform(k_free, (nf, 3), minval=aabb.min, maxval=aabb.max)
         dir_free = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (nf, 1))
+        regions = _edit_region_bounds(ops)
+        if regions and cfg.n_edit_samples > 0:
+            per = -(-cfg.n_edit_samples // len(regions))
+            u = jax.random.uniform(k_edit, (len(regions), per, 3))
+            pos_edit = jnp.concatenate(
+                [lo + u[i] * (hi - lo) for i, (lo, hi) in enumerate(regions)]
+            )
+            dir_edit = jax.random.normal(k_edir, pos_edit.shape)
+            dir_edit = dir_edit / (
+                jnp.linalg.norm(dir_edit, axis=-1, keepdims=True) + 1e-9
+            )
+            pos_free = jnp.concatenate([pos_free, pos_edit])
+            dir_free = jnp.concatenate([dir_free, dir_edit])
+            nf = pos_free.shape[0]
         f_rgb, f_sigma, _ = teacher_field(model, t_params, ops, pos_free, dir_free, aabb)
         f_rgb = jax.lax.stop_gradient(f_rgb)
         f_sigma = jax.lax.stop_gradient(f_sigma)

@@ -48,6 +48,11 @@ def parse_args():
     p.add_argument("--video_n_frames", type=int, default=60)
     p.add_argument("--video_output", default="video_frames")
     p.add_argument("--video_spp", type=int, default=2)
+    p.add_argument("--save_mesh", default="", help="marching-cubes mesh output (.obj/.ply/.stl)")
+    p.add_argument("--marching_cubes_res", type=int, default=256)
+    p.add_argument("--marching_cubes_density_thresh", type=float, default=2.5)
+    p.add_argument("--unwrap", action="store_true",
+                   help="quad-atlas UVs + debug texture on .obj mesh export")
     return p.parse_args()
 
 
@@ -105,6 +110,15 @@ def main():
     if args.save_snapshot:
         tb.save_snapshot(args.save_snapshot)
         print(f"saved snapshot → {args.save_snapshot}")
+
+    if args.save_mesh:
+        # reference scripts/run.py:304-307 (marching-cubes export)
+        res = args.marching_cubes_res or 256
+        print(f"marching cubes at {res}^3 → {args.save_mesh}")
+        tb.compute_and_save_marching_cubes_mesh(
+            args.save_mesh, res, args.marching_cubes_density_thresh,
+            unwrap=args.unwrap,
+        )
 
     if args.test_transforms:
         from nerfshop_tpu.data import nerf_loader

@@ -71,3 +71,66 @@ def test_level_gather_forward_and_vjp():
     g_ref = jax.grad(loss_ref)(tables)
     for a, b in zip(g_custom, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_pallas_sorted_segment_rowsum():
+    """The Pallas block-matmul kernel (interpret mode on CPU) against a
+    dense scatter of w8 ⊗ dout."""
+    from nerfshop_tpu.ops import pallas_segsum
+
+    rng = np.random.default_rng(11)
+    m, N, D, F = 1536 * 8, 1 << 13, 3, 2
+    w = (1 << D) * F
+    idx = rng.integers(0, m, N).astype(np.int32)
+    w1 = rng.uniform(0, 1, (N, D)).astype(np.float32)
+    dout = rng.standard_normal((N, F)).astype(np.float32)
+    order = np.argsort(idx, kind="stable")
+    out = np.asarray(
+        pallas_segsum.sorted_segment_rowsum(
+            jnp.asarray(idx[order]), jnp.asarray(w1[order]),
+            jnp.asarray(dout[order]), m, interpret=True,
+        )
+    )
+    w8 = np.asarray(table_ops.corner_products(jnp.asarray(w1)))
+    ct = (w8[:, :, None] * dout[:, None, :]).reshape(N, w)
+    ref = np.zeros((m, w), np.float32)
+    np.add.at(ref, idx, ct)
+    np.testing.assert_allclose(out, ref, rtol=3e-3, atol=2e-5)
+
+
+def test_brick_encode_pallas_backward_matches_autodiff():
+    """make_brick_encode with the Pallas backward branch (N % 128 == 0)
+    against native autodiff of the reference forward."""
+    import nerfshop_tpu.models.encodings as encodings
+
+    enc = encodings.GridEncoding(
+        n_levels=3, n_features_per_level=2, log2_hashmap_size=10,
+        base_resolution=8, per_level_scale=3.1, n_input_dims=3,
+        layout="brick",
+    )
+    assert not enc.level_dense[-1]
+    pipe = table_ops.make_brick_encode(
+        enc.level_sizes, enc.level_offsets, enc._brick_shifts,
+        enc.n_features_per_level, enc.n_input_dims, force_segment=True,
+        use_pallas=True,
+    )
+    ref = table_ops.make_brick_encode(
+        enc.level_sizes, enc.level_offsets, enc._brick_shifts,
+        enc.n_features_per_level, enc.n_input_dims,
+    )
+    params = enc.init(jax.random.PRNGKey(0))
+    table = params["table"]
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1024, 3))
+    idx, w1 = enc._brick_fracs(x)
+    w8 = table_ops.corner_products(w1)
+
+    def loss(fn):
+        def f(t):
+            return jnp.sum(jnp.sin(3.0 * fn(t, idx, w8, w1)))
+        return f
+
+    gt_p = jax.grad(loss(pipe))(table)
+    gt_r = jax.grad(loss(ref))(table)
+    np.testing.assert_allclose(
+        np.asarray(gt_p), np.asarray(gt_r), rtol=2e-3, atol=2e-4
+    )

@@ -87,9 +87,13 @@ def test_testbed_frame_loop(tmp_path):
     scene = _write_tiny_scene(tmp_path)
     tb = Testbed(TestbedMode.Nerf, scene=str(scene), config=_tiny_nerf_config())
     tb.set_train(True)
+    tb.frame_resolution = (64, 48)
     assert tb.frame()
     assert tb.stats.step == 16
     assert tb.stats.frame_ms > 0
+    # the reference frame loop renders after training (draw_contents,
+    # src/testbed.cu:1747) — frame() must fill the frame buffer
+    assert tb.frame_buffer is not None and tb.frame_buffer.shape == (48, 64, 4)
 
 
 def test_set_nerf_camera_matrix(tmp_path):
