@@ -132,6 +132,48 @@ class GrowingSelection:
         self.cage.vertices_deformed = np.asarray(vertices, np.float32)
         self.tet_mesh.update_deformed(self.cage)
 
+    def select_cage_vertices(self, indices=None, box=None) -> np.ndarray:
+        """Vertex-group selection → bool mask [V] (reference: rect/brush
+        cage-vertex selection, growing_selection.cu:784-957). ``box``:
+        world-space [[lo],[hi]] picks vertices of the DEFORMED cage inside."""
+        assert self.cage is not None
+        mask = np.zeros(self.cage.n_vertices, bool)
+        if indices is not None:
+            mask[np.asarray(indices, int)] = True
+        if box is not None:
+            b = np.asarray(box, np.float32)
+            v = self.cage.vertices_deformed
+            mask |= np.all((v >= b[0]) & (v <= b[1]), axis=1)
+        return mask
+
+    def transform_cage_group(
+        self, indices=None, box=None, rotate_deg=None, scale=None, offset=None
+    ) -> None:
+        """Group gizmo: rotate (XYZ euler degrees) / scale / translate the
+        selected vertex group about its centroid (reference: ImGuizmo group
+        manipulate over the selected cage vertices,
+        growing_selection.cu:459-658)."""
+        mask = self.select_cage_vertices(indices, box)
+        if not mask.any():
+            mask = np.ones(self.cage.n_vertices, bool)
+        v = self.cage.vertices_deformed[mask]
+        c = v.mean(0)
+        m = np.eye(3, dtype=np.float32)
+        if rotate_deg is not None:
+            rx, ry, rz = np.radians(np.asarray(rotate_deg, np.float32))
+            cx, sx = np.cos(rx), np.sin(rx)
+            cy, sy = np.cos(ry), np.sin(ry)
+            cz, sz = np.cos(rz), np.sin(rz)
+            Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], np.float32)
+            Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+            Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], np.float32)
+            m = Rz @ Ry @ Rx
+        if scale is not None:
+            m = m * np.asarray(scale, np.float32)
+        t = c - m @ c + (np.asarray(offset, np.float32) if offset is not None else 0.0)
+        self.cage.transform(np.concatenate([m, t[:, None]], 1), vertex_mask=mask)
+        self.tet_mesh.update_deformed(self.cage)
+
     def make_operator(self, lut_res: int = 64) -> CageDeformationOp:
         """→ device operator for the render/train stack (rebuild after every
         cage manipulation, like the reference's per-drag build_tet_grid)."""

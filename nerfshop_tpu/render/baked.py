@@ -98,6 +98,64 @@ class BakedVolume(NamedTuple):
         )
 
 
+#: bake row-evaluator cache, keyed (id(model), B, op_kinds, has_cam, rows).
+#: params/operators/aabb/cam are TRACED args of ONE cached jitted fn —
+#: closing over them (as a fresh per-call ``@jax.jit`` did in round 3) bakes
+#: the edit-operator arrays (a cage TetLut is [res³, MT] + per-tet matrices,
+#: 100+ MB) into the lowered HLO as dense constants, which overflowed the
+#: remote-compile request limit on real hardware (BENCH_r03 `HTTP 413`).
+#: Same discipline as renderer._render_chunk and train/distill.py:259-265;
+#: tests/test_program_size.py gates the lowered program's constant footprint.
+_BAKE_FN_CACHE: dict = {}
+_OCC_MASK_FN_CACHE: dict = {}
+
+
+def _get_bake_fn(model, B: int, op_kinds: tuple, has_cam: bool, rows: int):
+    key = (id(model), B, op_kinds, has_cam, rows)
+    fn = _BAKE_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def eval_rows(params, operators, lo, hi, cam, kk):
+        # kk: [rows] slice indices along array axis 0 (world z); volume
+        # layout [z, y, x]: array axis a holds world axis (2 − a)
+        g = (jnp.arange(B, dtype=jnp.float32) + 0.5) / B
+        zz, yy, xx = jnp.meshgrid((kk + 0.5) / B, g, g, indexing="ij")
+        pos = jnp.stack(
+            [lo[0] + xx * (hi[0] - lo[0]),
+             lo[1] + yy * (hi[1] - lo[1]),
+             lo[2] + zz * (hi[2] - lo[2])],
+            -1,
+        ).reshape(-1, 3)  # world xyz
+        if has_cam:
+            d = pos - cam
+            dirs = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+        else:
+            dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), pos.shape)
+        resid_sigma = resid_rgb = None
+        empty = None
+        if op_kinds:
+            from nerfshop_tpu.editing import operators as op_lib
+
+            pos, dirs, empty, resid_sigma, resid_rgb = op_lib.map_samples_through_stack_full(
+                list(operators), pos, dirs
+            )
+        bbox = coords.BoundingBox(lo, hi)
+        pw = jnp.clip(coords.warp_position(pos, bbox), 0.0, 1.0)
+        dw = coords.warp_direction(dirs)
+        rgb, sigma = model(params, pw, dw)
+        if empty is not None:
+            sigma = jnp.where(empty, 0.0, sigma)
+        if resid_sigma is not None:
+            sigma = sigma + resid_sigma
+            rgb = jnp.clip(rgb + resid_rgb, 0.0, None)
+        return rgb.reshape(rows, B, B, 3), sigma.reshape(rows, B, B)
+
+    fn = jax.jit(eval_rows)
+    _BAKE_FN_CACHE[key] = fn
+    return fn
+
+
 def bake_volume(
     model,
     params,
@@ -120,80 +178,63 @@ def bake_volume(
     B = resolution
     lo = jnp.asarray(aabb.min, jnp.float32)
     hi = jnp.asarray(aabb.max, jnp.float32)
-    g = (jnp.arange(B, dtype=jnp.float32) + 0.5) / B
-    cam = None if camera_pos is None else jnp.asarray(camera_pos, jnp.float32)
+    operators = tuple(operators)
+    op_kinds = tuple(type(op).__name__ for op in operators)
+    has_cam = camera_pos is not None
+    cam = jnp.zeros((3,), jnp.float32) if not has_cam else jnp.asarray(camera_pos, jnp.float32)
 
-    @jax.jit
-    def eval_rows(kk):  # kk: [Rk] slice indices along array axis 0 (world z)
-        # volume layout [z, y, x]: array axis a holds world axis (2 − a)
-        zz, yy, xx = jnp.meshgrid((kk + 0.5) / B, g, g, indexing="ij")
-        pos = jnp.stack(
-            [lo[0] + xx * (hi[0] - lo[0]),
-             lo[1] + yy * (hi[1] - lo[1]),
-             lo[2] + zz * (hi[2] - lo[2])],
-            -1,
-        ).reshape(-1, 3)  # world xyz
-        if cam is not None:
-            d = pos - cam
-            dirs = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
-        else:
-            dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), pos.shape)
-        resid_sigma = resid_rgb = None
-        empty = None
-        if operators:
-            from nerfshop_tpu.editing import operators as op_lib
-
-            pos, dirs, empty, resid_sigma, resid_rgb = op_lib.map_samples_through_stack_full(
-                list(operators), pos, dirs
-            )
-        pw = jnp.clip(coords.warp_position(pos, aabb), 0.0, 1.0)
-        dw = coords.warp_direction(dirs)
-        rgb, sigma = model(params, pw, dw)
-        if empty is not None:
-            sigma = jnp.where(empty, 0.0, sigma)
-        if resid_sigma is not None:
-            sigma = sigma + resid_sigma
-            rgb = jnp.clip(rgb + resid_rgb, 0.0, None)
-        n = kk.shape[0] * B * B
-        return rgb.reshape(kk.shape[0], B, B, 3), sigma.reshape(kk.shape[0], B, B)
-
-    rows_per_chunk = max(1, chunk // (B * B))
+    rows = max(1, min(B, chunk // (B * B)))
+    fn = _get_bake_fn(model, B, op_kinds, has_cam, rows)
     rgbs, sigs = [], []
-    for k0 in range(0, B, rows_per_chunk):
-        kk = jnp.arange(k0, min(k0 + rows_per_chunk, B), dtype=jnp.float32)
-        r, s = eval_rows(kk)
-        rgbs.append(r)
-        sigs.append(s)
+    for k0 in range(0, B, rows):
+        n_live = min(rows, B - k0)
+        # fixed [rows] shape (pad with the last slice, sliced off below) so
+        # every chunk reuses ONE compiled executable
+        kk = jnp.minimum(
+            jnp.arange(k0, k0 + rows, dtype=jnp.float32), jnp.float32(B - 1)
+        )
+        r, s = fn(params, operators, lo, hi, cam, kk)
+        rgbs.append(r[:n_live])
+        sigs.append(s[:n_live])
     rgb = jnp.concatenate(rgbs).astype(jnp.bfloat16)
     sigma = jnp.concatenate(sigs)
 
     if occupancy is not None:
         sigma = sigma * _occupancy_mask(occupancy, aabb, B)
 
-    return BakedVolume.from_canonical(rgb, sigma, lo, hi, cam)
+    return BakedVolume.from_canonical(rgb, sigma, lo, hi, cam if has_cam else None)
 
 
 def _occupancy_mask(occupancy: jnp.ndarray, aabb: coords.BoundingBox, B: int) -> jnp.ndarray:
     """[C,R,R,R] bitfield → [B,B,B] {0,1} mask at bake resolution (each bake
     cell reads its position's finest covering cascade, like the march)."""
-    from nerfshop_tpu.ops import march as march_lib
-
-    g = (jnp.arange(B, dtype=jnp.float32) + 0.5) / B
-    zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
-    lo = jnp.asarray(aabb.min)
-    hi = jnp.asarray(aabb.max)
-    pos = jnp.stack(
-        [lo[0] + xx * (hi[0] - lo[0]), lo[1] + yy * (hi[1] - lo[1]), lo[2] + zz * (hi[2] - lo[2])],
-        -1,
-    ).reshape(-1, 3)
     n_casc = occupancy.shape[0]
-    dt = jnp.full((pos.shape[0],), 0.0)
-    flat = march_lib._candidate_cells(
-        pos, jnp.zeros_like(pos), jnp.zeros((pos.shape[0], 1)), dt[:, None], n_casc
-    )
-    occ = jnp.take(occupancy.reshape(-1).astype(jnp.float32), flat[:, 0], axis=0)
-    # pos already absolute: _candidate_cells expects origin+T*dir; T=0 keeps pos
-    return occ.reshape(B, B, B)
+    key = (B, n_casc)
+    fn = _OCC_MASK_FN_CACHE.get(key)
+    if fn is None:
+        def _mask(occupancy, lo, hi):
+            from nerfshop_tpu.ops import march as march_lib
+
+            g = (jnp.arange(B, dtype=jnp.float32) + 0.5) / B
+            zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
+            pos = jnp.stack(
+                [lo[0] + xx * (hi[0] - lo[0]), lo[1] + yy * (hi[1] - lo[1]),
+                 lo[2] + zz * (hi[2] - lo[2])],
+                -1,
+            ).reshape(-1, 3)
+            dt = jnp.full((pos.shape[0],), 0.0)
+            flat = march_lib._candidate_cells(
+                pos, jnp.zeros_like(pos), jnp.zeros((pos.shape[0], 1)), dt[:, None], n_casc
+            )
+            occ = jnp.take(occupancy.reshape(-1).astype(jnp.float32), flat[:, 0], axis=0)
+            # pos already absolute: _candidate_cells expects origin+T*dir;
+            # T=0 keeps pos
+            return occ.reshape(B, B, B)
+
+        fn = _OCC_MASK_FN_CACHE[key] = jax.jit(_mask)
+    lo = jnp.asarray(aabb.min, jnp.float32)
+    hi = jnp.asarray(aabb.max, jnp.float32)
+    return fn(occupancy, lo, hi)
 
 
 # ---------------------------------------------------------------------------

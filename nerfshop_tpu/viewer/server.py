@@ -37,6 +37,7 @@ class ViewerServer:
         self.port = port
         self._lock = threading.Lock()  # one device user at a time
         self._gs = None  # GrowingSelection in progress
+        self._applied_idx = None  # index of _gs's operator in the stack, once applied
         self.last_rebake_s = None  # edit/train → rebake latency (seconds)
 
     # ------------------------------------------------------------- handlers
@@ -60,7 +61,9 @@ class ViewerServer:
                 img = self.tb.render_dynamic(w, h, spp=spp)
             else:
                 t0 = time.perf_counter()
-                key = (self.tb.stats.step, len(self.tb.edit_operators))
+                # content-hash key: catches gizmo drags of APPLIED cages and
+                # membrane-amplitude changes, not just stack-length changes
+                key = self.tb._interactive_key()
                 rebaked = getattr(self.tb, "_baked_key", None) != key
                 img = self.tb.render_interactive(w, h)
                 if rebaked:
@@ -109,6 +112,14 @@ class ViewerServer:
             out["cage_vertices"] = np.asarray(gs.cage.vertices_deformed).tolist()
         return out
 
+    def _reapply(self, tb) -> None:
+        """If the in-progress cage was already applied, rebuild its operator
+        from the dragged vertices and swap it into the stack (the reference
+        rebuilds the tet grid per manipulation, tet_mesh.cu:369); the baked
+        path's content-hash key then rebakes on the next frame."""
+        if self._applied_idx is not None and self._applied_idx < len(tb.edit_operators):
+            tb.replace_edit_operator(self._applied_idx, self._gs.make_operator())
+
     def edit(self, verb: str, req: dict) -> dict:
         import jax.numpy as jnp
 
@@ -151,23 +162,41 @@ class ViewerServer:
             elif verb == "translate":
                 self._gs.copy_mode = bool(req.get("copy", False))
                 self._gs.translate_cage(np.asarray(req.get("offset", [0, 0, 0]), np.float32))
+                self._reapply(tb)
             elif verb == "set_cage_vertices":
                 # per-vertex gizmo drag (reference: ImGuizmo manipulation in
                 # visualize_edit_gui, growing_selection.cu:459-658)
                 self._gs.set_cage_vertices(np.asarray(req["vertices"], np.float32))
+                self._reapply(tb)
             elif verb == "move_vertex":
                 # single-handle drag: index + new world position
                 v = np.asarray(self._gs.cage.vertices_deformed, np.float32).copy()
                 v[int(req["index"])] = np.asarray(req["position"], np.float32)
                 self._gs.set_cage_vertices(v)
+                self._reapply(tb)
+            elif verb == "transform_group":
+                # group gizmo: rotate/scale/translate a SELECTED vertex set
+                # about its centroid (reference rect/brush selection +
+                # ImGuizmo group manipulate, growing_selection.cu:459-658,
+                # 784-957). mask: explicit indices, or a world-space box.
+                self._gs.transform_cage_group(
+                    indices=req.get("indices"),
+                    box=req.get("box"),
+                    rotate_deg=req.get("rotate_deg"),
+                    scale=req.get("scale"),
+                    offset=req.get("offset"),
+                )
+                self._reapply(tb)
             elif verb == "apply":
                 op = self._gs.make_operator()
                 tb.add_edit_operator(op)
+                self._applied_idx = len(tb.edit_operators) - 1
             elif verb == "vanish":
                 tb._grid = self._gs.vanish(tb._grid)
             elif verb == "clear":
                 tb._edit_operators.clear()
                 self._gs = None
+                self._applied_idx = None
                 if tb._state is not None:
                     tb.refresh_grid_for_edits()
             elif verb == "save_edits":
