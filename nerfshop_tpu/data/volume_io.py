@@ -99,15 +99,27 @@ def load_nanovdb(path: str | Path) -> np.ndarray:
     if n_leaf:
         leaves = np.frombuffer(grid, np.uint8, count=n_leaf * _LEAF_SIZE_F32, offset=leaf_off)
         leaves = leaves.reshape(n_leaf, _LEAF_SIZE_F32)
-        origins = leaves[:, :12].copy().view("<i4").reshape(n_leaf, 3)
+        bbox_min = leaves[:, :12].copy().view("<i4").reshape(n_leaf, 3)
+        # LeafData.mBBoxMin is the leaf's ACTIVE-voxel bbox min after
+        # gridStats/updateBBox (NanoVDB.h:3883) — NOT the leaf origin; the
+        # origin is its 8-aligned floor, origin() = mBBoxMin & ~MASK
+        # (NanoVDB.h:3734). Partially-active boundary leaves in real files
+        # have unaligned mBBoxMin, so aligning here is load-bearing.
+        origins = bbox_min & ~7
         values = leaves[:, _LEAF_HEADER:].copy().view("<f4").reshape(n_leaf, 8, 8, 8)
         # leaf-local layout: offset = ((i&7)<<6)|((j&7)<<3)|(k&7) → [i, j, k]
         for n in range(n_leaf):
-            i0, j0, k0 = origins[n] - lo
-            if i0 < 0 or j0 < 0 or k0 < 0:
+            d0 = origins[n] - lo  # may be negative when lo is unaligned
+            s0 = np.maximum(-d0, 0)  # low-side clip, leaf-local
+            i0, j0, k0 = np.maximum(d0, 0)
+            i1 = min(d0[0] + 8, dims[0])
+            j1 = min(d0[1] + 8, dims[1])
+            k1 = min(d0[2] + 8, dims[2])
+            if i1 <= i0 or j1 <= j0 or k1 <= k0:
                 continue
-            i1, j1, k1 = min(i0 + 8, dims[0]), min(j0 + 8, dims[1]), min(k0 + 8, dims[2])
-            vol[i0:i1, j0:j1, k0:k1] = values[n][: i1 - i0, : j1 - j0, : k1 - k0]
+            vol[i0:i1, j0:j1, k0:k1] = values[n][
+                s0[0] : s0[0] + i1 - i0, s0[1] : s0[1] + j1 - j0, s0[2] : s0[2] + k1 - k0
+            ]
     return vol
 
 

@@ -219,12 +219,23 @@ def export_ingp(
             )
         if layout != "plain" and interop == "convert":
             import dataclasses
+            import warnings
 
             enc_p, table_p, mse = rebake_plain_table(model, params)
             params = {**params, "pos_encoding": {"table": table_p}}
             model = dataclasses.replace(model, pos_encoding=enc_p)
             cfg["encoding"]["layout"] = "plain"
             layout = "plain"
+            if mse > 0:
+                # the hash-level re-bake is a least-squares FIT, not exact —
+                # make the loss visible so a default save_snapshot('*.ingp')
+                # isn't silently lossy (use interop='warn' to keep the brick
+                # table when the file is only reloaded by this framework)
+                warnings.warn(
+                    f"{path}: hash levels re-baked to tcnn plain order with "
+                    f"least-squares fit MSE {mse:.3e} (dense levels exact); "
+                    "pass interop='warn' to keep the native layout lossless"
+                )
         else:
             cfg["encoding"]["layout"] = layout
         if layout != "plain":

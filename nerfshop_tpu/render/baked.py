@@ -147,6 +147,9 @@ def _get_bake_fn(model, B: int, op_kinds: tuple, has_cam: bool, rows: int):
         if empty is not None:
             sigma = jnp.where(empty, 0.0, sigma)
         if resid_sigma is not None:
+            if empty is not None:
+                # empty wins over residuals (testbed_nerf.cu:764-805)
+                resid_sigma = jnp.where(empty, 0.0, resid_sigma)
             sigma = sigma + resid_sigma
             rgb = jnp.clip(rgb + resid_rgb, 0.0, None)
         return rgb.reshape(rows, B, B, 3), sigma.reshape(rows, B, B)

@@ -183,7 +183,14 @@ def _eval_window(
         # reference: composite_kernel_nerf 764-767)
         sigma = jnp.where(empty_mask, 0.0, sigma)
     if resid_sigma is not None:
+        # empty_mask has ABSOLUTE priority (reference: the α=0 branch comes
+        # first, residual logic lives in the else — testbed_nerf.cu:764-805):
+        # a vacated sample must stay σ=0 even if it carries a residual,
+        # otherwise the blend re-densifies emptied cells with σ_target.
         on = resid_sigma > 1e-9
+        if empty_mask is not None:
+            on = on & ~empty_mask
+            resid_sigma = jnp.where(empty_mask, 0.0, resid_sigma)
         if opts.membrane_mode == "target":
             # reference parity (composite_kernel_nerf testbed_nerf.cu:770-805,
             # poisson_target): density clamped between the RECEIVING scene's

@@ -327,10 +327,13 @@ class Testbed:
 
             # chunked in-program loop: up to 16 steps per device program
             # (grid refresh stays on its every-16-step schedule between
-            # chunks; reference trains 16 steps/frame, src/testbed.cu:1749)
-            loss = 0.0
+            # chunks; reference trains 16 steps/frame, src/testbed.cu:1749).
+            # Per-chunk host pull: EVERY chunk's losses feed loss_history
+            # (the viewer loss graph) and the degenerate-training guards run
+            # per chunk, not just on the final one (ADVICE r3 #2).
+            loss = float(self.stats.loss)
             remaining = n_steps
-            losses_np = None
+            overflow_sum, n_chunks = 0.0, 0
             while remaining > 0:
                 self._rng, k1, k2 = jax.random.split(self._rng, 3)
                 step = self.stats.step
@@ -350,37 +353,37 @@ class Testbed:
                     self._state, ys = loop_fn(self._state, self._grid, self._device_data, k1)
                 self.stats.step += chunk
                 remaining -= chunk
-            losses_np = np.asarray(ys["loss"])
-            aux = {
-                "loss": losses_np[-1],
-                "measured_samples": np.asarray(ys["measured_samples"])[-1],
-                "sample_overflow_frac": float(np.asarray(ys["sample_overflow_frac"]).mean()),
-            }
-            loss = float(aux["loss"])
-            for i, lv in enumerate(losses_np):
-                self.loss_history.append((self.stats.step - len(losses_np) + 1 + i, float(lv)))
-            # degenerate-training guards (reference: "generated 0 samples.
-            # Aborting training.", testbed_nerf.cu:3770; plus a NaN guard)
-            if int(aux["measured_samples"]) == 0:
-                self.shall_train = False
-                raise RuntimeError(
-                    "training generated 0 samples (empty occupancy along every "
-                    "ray) — aborting; check the scene scale/aabb_scale"
-                )
-            if not math.isfinite(loss):
-                self.shall_train = False
-                raise RuntimeError(f"non-finite training loss at step {self.stats.step}")
-            self.stats.loss = loss
+                losses_np = np.asarray(ys["loss"])
+                loss = float(losses_np[-1])
+                measured = int(np.asarray(ys["measured_samples"])[-1])
+                overflow_sum += float(np.asarray(ys["sample_overflow_frac"]).mean())
+                n_chunks += 1
+                for i, lv in enumerate(losses_np):
+                    self.loss_history.append(
+                        (self.stats.step - len(losses_np) + 1 + i, float(lv))
+                    )
+                # degenerate-training guards (reference: "generated 0 samples.
+                # Aborting training.", testbed_nerf.cu:3770; plus a NaN guard)
+                if measured == 0:
+                    self.shall_train = False
+                    raise RuntimeError(
+                        "training generated 0 samples (empty occupancy along every "
+                        "ray) — aborting; check the scene scale/aabb_scale"
+                    )
+                if not math.isfinite(loss):
+                    self.shall_train = False
+                    raise RuntimeError(f"non-finite training loss at step {self.stats.step}")
+                self.stats.loss = loss
+                self.stats.measured_batch_size = measured
             del self.loss_history[:-512]
-            self.stats.measured_batch_size = int(aux["measured_samples"])
             # bucket adjustment: if most rays fill their K budget the march
             # is truncating (dense grid) → fewer rays × more samples; if
             # almost none do, shift back toward many short rays.
-            overflow = float(aux.get("sample_overflow_frac", 0.0))
-            if overflow > 0.6 and self._k_bucket < 1024:
+            overflow = overflow_sum / max(n_chunks, 1)
+            if n_chunks and overflow > 0.6 and self._k_bucket < 1024:
                 self._k_bucket *= 2
                 self._build_step_fn(max(64, self._batch_slots // self._k_bucket), self._k_bucket)
-            elif overflow < 0.08 and self._k_bucket > 32:
+            elif n_chunks and overflow < 0.08 and self._k_bucket > 32:
                 self._k_bucket //= 2
                 self._build_step_fn(max(64, self._batch_slots // self._k_bucket), self._k_bucket)
         elif self.mode == TestbedMode.Image:

@@ -84,7 +84,10 @@ def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.n
     dir_w = coords.warp_direction(dvec)
     rgb, sigma = model(params, pos_w, dir_w)
     sigma = jnp.where(empty, 0.0, sigma)
-    on = rs > 1e-9
+    # empty has ABSOLUTE priority over the membrane blend (reference: the
+    # α=0 branch precedes the residual logic, testbed_nerf.cu:764-805) —
+    # without the gate, vacated samples re-densify to min(max(σ_tgt,0),rs)
+    on = (rs > 1e-9) & ~empty
     if jnp.ndim(rs) and operators:
         # membrane blend, REFERENCE semantics (composite_kernel_nerf
         # testbed_nerf.cu:770-805, poisson_target): density clamped between

@@ -34,11 +34,11 @@ def timeit(name, fn, n=8):
     # is pipelined THROUGHPUT, not latency; compare ops against each other
     # here, not against profile_train's dependency-chained full-step number.
     for i in range(2):
-        jax.block_until_ready(fn(i))
+        jax.block_until_ready(fn(keys[i]))
     outs = []
     t0 = time.perf_counter()
     for i in range(n):
-        outs.append(fn(i + 2))
+        outs.append(fn(keys[i + 2]))
     for o in outs:
         jax.block_until_ready(o)
     dt = (time.perf_counter() - t0) / n

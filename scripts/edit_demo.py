@@ -35,7 +35,14 @@ def main():
     ap.add_argument("--distill_steps", type=int, default=1500)
     ap.add_argument("--batch_size", type=int, default=1 << 18)
     ap.add_argument("--downscale", type=int, default=4, help="eval/render downscale")
-    ap.add_argument("--offset", type=float, nargs=3, default=(0.35, 0.0, 0.0))
+    ap.add_argument(
+        "--offset", type=float, nargs=3, default=None,
+        help="world-space cage translation; default: 0.3 units along the "
+        "scene's up axis (estimated from the camera rig), so the moved "
+        "content lands in FREE SPACE — translating into occupied volume "
+        "(e.g. the fox body) makes the membrane clamp to the receiving "
+        "region's density and renders as an opaque shell",
+    )
     ap.add_argument("--view", type=int, default=0, help="scribble/eval view index")
     ap.add_argument("--out", default="scratch/edit_demo")
     args = ap.parse_args()
@@ -135,8 +142,17 @@ def main():
           f"{len(gs.tet_mesh.tets)} tets", flush=True)
 
     # ---- 3. translate + membrane → operator --------------------------------
+    if args.offset is None:
+        # scene up ≈ −mean(camera y axis): image y points down, so the rig's
+        # shared "down" is the mean second column of the c2w rotations
+        up = -np.mean(np.asarray(ds.xforms)[:, :, 1], axis=0)
+        up = up / (np.linalg.norm(up) + 1e-9)
+        offset = (0.3 * up).astype(np.float32)
+        print(f"auto offset along scene up: {offset.round(3).tolist()}", flush=True)
+    else:
+        offset = np.asarray(args.offset, np.float32)
     t0 = time.perf_counter()
-    gs.translate_cage(np.asarray(args.offset, np.float32))
+    gs.translate_cage(offset)
     op = gs.make_operator()
     lut_s = time.perf_counter() - t0
     membrane = poisson_lib.compute_membrane(

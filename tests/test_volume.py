@@ -95,7 +95,13 @@ def _write_test_nvdb(path, dense):
                 sub = dense[i0:i0 + 8, j0:j0 + 8, k0:k0 + 8]
                 blk[: sub.shape[0], : sub.shape[1], : sub.shape[2]] = sub
                 if (blk != 0).any():
-                    leaves.append((i0, j0, k0, blk))
+                    # real builders run gridStats, which rewrites
+                    # LeafData.mBBoxMin to the leaf's ACTIVE-voxel bbox min
+                    # (NanoVDB.h:3883) — usually unaligned on boundary
+                    # leaves; the loader must realign via origin() =
+                    # mBBoxMin & ~7 (NanoVDB.h:3734)
+                    act = np.argwhere(blk != 0).min(axis=0)
+                    leaves.append((i0 + act[0], j0 + act[1], k0 + act[2], blk))
 
     LEAF_SIZE = 96 + 512 * 4
     tree_off = 672
@@ -122,7 +128,11 @@ def _write_test_nvdb(path, dense):
     meta = bytearray(176)
     struct.pack_into("<4Q", meta, 0, grid_size, 0, 0, int((dense != 0).sum()))
     struct.pack_into("<II", meta, 32, 1, 0)  # gridType=Float, gridClass
-    struct.pack_into("<6i", meta, 88, 0, 0, 0, X - 1, Y - 1, Z - 1)  # indexBBox
+    # indexBBox = ACTIVE-voxel bbox (what gridStats writes) — typically
+    # unaligned, so the loader's low-side clip path is exercised
+    act = np.argwhere(dense != 0)
+    alo, ahi = act.min(axis=0), act.max(axis=0)
+    struct.pack_into("<6i", meta, 88, *alo.tolist(), *ahi.tolist())  # indexBBox
     struct.pack_into("<I", meta, 136, len(name))  # nameSize
     struct.pack_into("<4I", meta, 140, len(leaves), 0, 0, 0)  # nodeCount
     with open(path, "wb") as f:
@@ -147,8 +157,13 @@ def test_nanovdb_ingest(tmp_path):
     p = tmp_path / "vol.nvdb"
     _write_test_nvdb(p, dense)
     out = volume_io.load_volume(p)
-    assert out.shape == dense.shape
-    np.testing.assert_allclose(out, dense, atol=0)
+    # the volume is returned over the ACTIVE indexBBox (as real stats-run
+    # files declare it), with unaligned per-leaf mBBoxMin realigned
+    act = np.argwhere(dense != 0)
+    alo, ahi = act.min(axis=0), act.max(axis=0)
+    expect = dense[alo[0] : ahi[0] + 1, alo[1] : ahi[1] + 1, alo[2] : ahi[2] + 1]
+    assert out.shape == expect.shape
+    np.testing.assert_allclose(out, expect, atol=0)
 
 
 def test_nanovdb_rejects_compressed(tmp_path):
