@@ -51,6 +51,9 @@ class GrowingSelection:
     cage: Optional[Cage] = None
     tet_mesh: Optional[TetMesh] = None
     copy_mode: bool = False
+    #: active Poisson membrane (editing/poisson.MembraneData) — attached to
+    #: every operator make_operator builds until cleared
+    membrane: Optional[object] = None
 
     # knobs (reference GUI sliders)
     density_threshold: float = 0.01
@@ -176,9 +179,29 @@ class GrowingSelection:
 
     def make_operator(self, lut_res: int = 64) -> CageDeformationOp:
         """→ device operator for the render/train stack (rebuild after every
-        cage manipulation, like the reference's per-drag build_tet_grid)."""
+        cage manipulation, like the reference's per-drag build_tet_grid).
+        Attaches the computed membrane when one is active."""
         assert self.tet_mesh is not None, "extract cage first"
-        return CageDeformationOp.from_tet_mesh(self.tet_mesh, copy_mode=self.copy_mode, lut_res=lut_res)
+        op = CageDeformationOp.from_tet_mesh(self.tet_mesh, copy_mode=self.copy_mode, lut_res=lut_res)
+        if self.membrane is not None:
+            op = op._replace(membrane=self.membrane)
+        return op
+
+    def compute_membrane(self, params, rng, amplitude: float = 1.0, grid=None) -> None:
+        """Build Poisson membrane boundary values for the CURRENT deformation
+        and keep them on the selection (reference: the GUI's poisson section,
+        growing_selection.cu:2220-2409 — recompute after each manipulation).
+        Pass amplitude=0 or call clear_membrane() to turn it off."""
+        from nerfshop_tpu.editing import poisson as poisson_lib
+
+        assert self.tet_mesh is not None, "extract cage first"
+        self.membrane = poisson_lib.compute_membrane(
+            self.model, params, self.cage, self.tet_mesh, self.aabb, rng,
+            amplitude=amplitude, grid=grid,
+        )
+
+    def clear_membrane(self) -> None:
+        self.membrane = None
 
     # ------------------------------------------------------------------ vanish
 

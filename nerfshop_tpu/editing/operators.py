@@ -290,13 +290,15 @@ def map_samples_through_stack(operators: List, pos: jnp.ndarray, direction: jnp.
 
 def map_samples_through_stack_full(operators: List, pos: jnp.ndarray, direction: jnp.ndarray):
     """Like map_samples_through_stack, additionally accumulating membrane
-    residuals (reference: compute_poisson_full_residuals in the trace loop,
-    testbed_nerf.cu:2870). → (pos, dir, empty, resid_σ [N], resid_rgb [N,3])."""
+    boundary values (reference: compute_poisson_full_residuals in the trace
+    loop, testbed_nerf.cu:2870).
+    → (pos, dir, empty, resid_σ [N], outside_σ [N], resid_rgb [N,3])."""
     from nerfshop_tpu.editing import poisson as poisson_lib
 
     N = pos.shape[0]
     empty = jnp.zeros(N, bool)
     resid_sigma = jnp.zeros(N, jnp.float32)
+    outside_sigma = jnp.zeros(N, jnp.float32)
     resid_rgb = jnp.zeros((N, 3), jnp.float32)
     for op in reversed(operators):
         if isinstance(op, CageDeformationOp):
@@ -312,14 +314,15 @@ def map_samples_through_stack_full(operators: List, pos: jnp.ndarray, direction:
             in_source, _, _ = tet_lookup(op.lut_orig, op.v0_orig, op.inv_orig, pos, eps=5e-3)
             empty |= in_source & ~in_target & ~op.copy_mode
             if op.membrane is not None:
-                rs, rc = poisson_lib.membrane_residuals_at(op.membrane, tet, bary, in_target, new_dir)
+                rs, ro, rc = poisson_lib.membrane_residuals_at(op.membrane, tet, bary, in_target, new_dir)
                 resid_sigma += rs
+                outside_sigma += ro
                 resid_rgb += rc
             pos, direction = new_pos, new_dir
         else:
             pos, direction, e, _ = apply_operator_samples(op, pos, direction)
             empty |= e
-    return pos, direction, empty, resid_sigma, resid_rgb
+    return pos, direction, empty, resid_sigma, outside_sigma, resid_rgb
 
 
 def map_positions_through_stack(operators: List, pos: jnp.ndarray):

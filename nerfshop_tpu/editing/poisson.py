@@ -11,11 +11,22 @@ barycentrically-interpolated residual density & SH color difference to
 samples inside the deformed region (compute_poisson_full_residuals
 cage_deformation.cu:431-541; composite blend testbed_nerf.cu:770-805).
 
-Simplification vs the CUDA composite: the reference mixes network and
-residual colors by an α-ratio with a target clamp; we add the residual
-density σ += clamp(σ_out − σ_in, 0) · amplitude and the SH color delta
-rgb += eval_sh9(sh_out − sh_in, dir), clamped to ≥ 0 — the same
-boundary-matching signal in a fused-friendly form.
+Reference semantics (round-4 parity; the round-3 simplification — adding
+the raw SH difference — rendered a dark shell wherever the deformed region
+overlapped occupied space):
+
+* per cage vertex: σ_in/SH_in at the ORIGINAL position (σ_in zeroed where
+  the occupancy grid is empty — ``filter_empty``), σ_out/SH_out at the
+  DEFORMED position;
+* per tet vertex (interpolate_poisson_boundary growing_selection.cu:2360):
+  - sh   = Σⱼ γMVCⱼ·α_outⱼ·(SH_outⱼ − min(α_inⱼ/α_outⱼ,1)·SH_inⱼ)
+           / (Σⱼ γMVCⱼ·α_outⱼ + 1e−6)       with α = 1−exp(−σ·Δmin)
+  - outside_density  = Σⱼ γMVCⱼ·σ_outⱼ
+  - residual_density = max(Σⱼ γMVCⱼ·(σ_outⱼ − σ_inⱼ), 0)
+* per render sample (compute_residual_poisson_kernel cage_deformation.cu:431
+  + composite testbed_nerf.cu:770-805): the GATE and the α-ratio weight use
+  the OUTSIDE density (×amplitude); the residual density (×amplitude) only
+  bounds the σ clamp; rgb = w_N·rgb_src + w_R·eval_sh9(sh, dir).
 """
 
 from __future__ import annotations
@@ -48,11 +59,26 @@ def sample_boundary_at(model, params, centers: jnp.ndarray, aabb, rng, n_dirs: i
 
 
 class MembraneData(NamedTuple):
-    """Per-tet-corner membrane residuals consumed by the render warp."""
+    """Per-tet-corner membrane boundary values consumed by the render warp
+    (the reference's tet_interpolation_mesh boundary_* arrays)."""
 
-    density: jnp.ndarray  # [Nt, 4] residual density (≥ 0)
-    sh: jnp.ndarray  # [Nt, 4, 9, 3] SH color difference (outside − inside)
+    density: jnp.ndarray  # [Nt, 4] residual density max(σ_out − σ_in, 0)
+    outside_density: jnp.ndarray  # [Nt, 4] receiving-scene density σ_out
+    sh: jnp.ndarray  # [Nt, 4, 9, 3] α-weighted SH correction
     amplitude: jnp.ndarray  # [] user slider
+
+
+def _occupied_at(grid, pos: jnp.ndarray) -> jnp.ndarray:
+    """pos [N,3] world → bool occupancy at the finest covering cascade
+    (the reference's density_grid_occupied_at in filter_empty)."""
+    from nerfshop_tpu.ops import march as march_lib
+
+    n_casc = grid.occupancy.shape[0]
+    flat = march_lib._candidate_cells(
+        pos, jnp.zeros_like(pos), jnp.zeros((pos.shape[0], 1)),
+        jnp.zeros((pos.shape[0], 1)), n_casc,
+    )
+    return jnp.take(grid.occupancy.reshape(-1), flat[:, 0], axis=0)
 
 
 def compute_membrane(
@@ -64,8 +90,16 @@ def compute_membrane(
     rng,
     gamma: float = 4.0,
     amplitude: float = 1.0,
+    grid=None,
 ) -> MembraneData:
-    """Build membrane residuals for the current cage deformation."""
+    """Build membrane boundary values for the current cage deformation.
+
+    ``grid``: optional OccupancyGrid — inside densities at grid-empty cage
+    vertices are zeroed like the reference's filter_empty pass
+    (growing_selection.cu:2304), so stray fog outside the surface doesn't
+    fake a content boundary."""
+    from nerfshop_tpu.common import MIN_CONE_STEPSIZE
+
     k1, k2 = jax.random.split(rng)
     cv_orig = jnp.asarray(cage.vertices_original)
     cv_def = jnp.asarray(cage.vertices_deformed)
@@ -74,6 +108,16 @@ def compute_membrane(
     sh_in, dens_in = sample_boundary_at(model, params, cv_orig, aabb, k1)
     # outside: the receiving scene, at the deformed location
     sh_out, dens_out = sample_boundary_at(model, params, cv_def, aabb, k2)
+    if grid is not None:
+        dens_in = jnp.where(_occupied_at(grid, cv_orig), dens_in, 0.0)
+
+    # per-vertex α-weighted SH correction (interpolate_poisson_boundary,
+    # growing_selection.cu:2373-2394): "outside always takes the lead" —
+    # the inside term is scaled by min(α_in/α_out, 1)
+    a_out = 1.0 - jnp.exp(-dens_out * MIN_CONE_STEPSIZE)
+    a_in = 1.0 - jnp.exp(-dens_in * MIN_CONE_STEPSIZE)
+    w_inside = jnp.minimum(a_in / jnp.maximum(a_out, 1e-9), 1.0)
+    sh_diff = sh_out - w_inside[:, None, None] * sh_in  # [V, 9, 3]
 
     # γ-MVC interpolation of cage-vertex values onto tet vertices
     w = mvc_lib.mvc_gamma_weights(
@@ -82,13 +126,16 @@ def compute_membrane(
         jnp.asarray(cage.faces),
         gamma=gamma,
     )  # [T, V]
+    denom = w @ a_out + 1e-6  # [T]
+    sh_tet = jnp.einsum("tv,v,vkc->tkc", w, a_out, sh_diff) / denom[:, None, None]
+    out_d_v = w @ dens_out  # [T]
     resid_d_v = jnp.maximum(w @ (dens_out - dens_in), 0.0)  # [T]
-    sh_diff_v = jnp.einsum("tv,vkc->tkc", w, sh_out - sh_in)  # [T, 9, 3]
 
     tets = jnp.asarray(tet_mesh.tets)
     return MembraneData(
         density=resid_d_v[tets],  # [Nt, 4]
-        sh=sh_diff_v[tets],  # [Nt, 4, 9, 3]
+        outside_density=out_d_v[tets],  # [Nt, 4]
+        sh=sh_tet[tets],  # [Nt, 4, 9, 3]
         amplitude=jnp.asarray(amplitude, jnp.float32),
     )
 
@@ -99,15 +146,19 @@ def membrane_residuals_at(
     bary: jnp.ndarray,  # [N, 4]
     in_target: jnp.ndarray,  # [N]
     direction: jnp.ndarray,  # [N, 3] unwarped view dirs (canonical space)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """→ (residual σ [N], residual rgb [N,3]) for samples in the deformed
-    region (compute_poisson_full_residuals, cage_deformation.cu:431-541).
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """→ (residual σ, outside σ, residual rgb) per sample in the deformed
+    region (compute_residual_poisson_kernel, cage_deformation.cu:431-541).
+    The OUTSIDE density gates the blend and weights α_R; the residual
+    density bounds the σ clamp; both are ×amplitude like the reference.
 
     2D-only shapes: a [N,4,9,3] gather tile-pads its (9,3) minor dims ~57×
     on TPU — at a render chunk's N it blew HBM at COMPILE time. Per-corner
     [N,27] row-gathers + a strided-slice SH evaluation stay dense."""
     dens4 = jnp.take(membrane.density, tet, axis=0)  # [N, 4]
     resid_sigma = jnp.sum(bary * dens4, axis=1)
+    out4 = jnp.take(membrane.outside_density, tet, axis=0)  # [N, 4]
+    outside_sigma = jnp.sum(bary * out4, axis=1)
     msh = membrane.sh.reshape(membrane.sh.shape[0], 4, 27)
     sh27 = None
     for k in range(4):
@@ -122,5 +173,6 @@ def membrane_residuals_at(
     z = jnp.zeros_like(resid_sigma)
     return (
         jnp.where(in_target, resid_sigma * amp, z),
-        jnp.where(in_target[:, None], resid_rgb * amp, jnp.zeros_like(resid_rgb)),
+        jnp.where(in_target, outside_sigma * amp, z),
+        jnp.where(in_target[:, None], resid_rgb, jnp.zeros_like(resid_rgb)),
     )

@@ -171,6 +171,18 @@ def make_brick_encode(
     w = C * F
     P = 128 // w if 128 % w == 0 else 1
     L = len(level_sizes)
+    # Forward gather dtype: f32 — both alternatives measured NEGATIVE on the
+    # REAL train step (v5e, scratch/probe_step_quick.py, in-program chains):
+    # * sorted forward gathers (VERDICT r3 #3): sort+monotone-gather+unsort
+    #   loses to the plain random row gather at every table size on uniform
+    #   keys (13.2 vs 5.9 ms at m=2^19, scratch/probe_sorted_fwd.py) — the
+    #   two sorts dominate.
+    # * bf16 brick tables: 2× on ISOLATED uniform-random gathers (44.6 →
+    #   89.3 M rows/s at [2^19,16]), but the full step REGRESSED 130 → 160
+    #   ms (both per-level and single whole-table casts): real march samples
+    #   are spatially correlated, so the in-step gathers already ride cache
+    #   locality and the casts/bf16 layout only add work.
+    feat_dtype = jnp.float32
 
     def _slice(table, l):
         return jax.lax.slice_in_dim(table, level_offsets[l], level_offsets[l] + level_sizes[l])
@@ -183,6 +195,10 @@ def make_brick_encode(
         128-lane packed variant measured SLOWER on v5e — the interleaving
         build cost more than the gather saved)."""
         N = idx.shape[1]
+        if feat_dtype != table.dtype:
+            # ONE whole-table cast pass; per-level casts measured +30 ms on
+            # the full step (XLA re-materialized them per level)
+            table = jax.lax.optimization_barrier(table.astype(feat_dtype))
         feats = []
         for l in range(L):
             Tl = _slice(table, l)
@@ -194,7 +210,10 @@ def make_brick_encode(
 
     def _reference(table, idx, w8, w1):
         feats = _forward_feats(table, idx)
-        return jnp.einsum("lnc,lncf->lnf", w8.astype(table.dtype), feats)
+        return jnp.einsum(
+            "lnc,lncf->lnf", w8.astype(feats.dtype), feats,
+            preferred_element_type=jnp.float32,
+        )
 
     if jax.default_backend() == "cpu" and not force_segment:
         # XLA:CPU scatters at memory speed — native autodiff beats the
@@ -207,7 +226,10 @@ def make_brick_encode(
 
     def fwd(table, idx, w8, w1):
         feats = _forward_feats(table, idx)
-        out = jnp.einsum("lnc,lncf->lnf", w8.astype(table.dtype), feats)
+        out = jnp.einsum(
+            "lnc,lncf->lnf", w8.astype(feats.dtype), feats,
+            preferred_element_type=jnp.float32,
+        )
         return out, (idx, w8, w1, feats.astype(jnp.bfloat16))
 
     def bwd(res, dout):

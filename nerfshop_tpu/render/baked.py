@@ -132,13 +132,14 @@ def _get_bake_fn(model, B: int, op_kinds: tuple, has_cam: bool, rows: int):
             dirs = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
         else:
             dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), pos.shape)
-        resid_sigma = resid_rgb = None
+        resid_sigma = resid_out = resid_rgb = None
         empty = None
+        pos0 = pos
         if op_kinds:
             from nerfshop_tpu.editing import operators as op_lib
 
-            pos, dirs, empty, resid_sigma, resid_rgb = op_lib.map_samples_through_stack_full(
-                list(operators), pos, dirs
+            pos, dirs, empty, resid_sigma, resid_out, resid_rgb = (
+                op_lib.map_samples_through_stack_full(list(operators), pos, dirs)
             )
         bbox = coords.BoundingBox(lo, hi)
         pw = jnp.clip(coords.warp_position(pos, bbox), 0.0, 1.0)
@@ -147,11 +148,17 @@ def _get_bake_fn(model, B: int, op_kinds: tuple, has_cam: bool, rows: int):
         if empty is not None:
             sigma = jnp.where(empty, 0.0, sigma)
         if resid_sigma is not None:
-            if empty is not None:
-                # empty wins over residuals (testbed_nerf.cu:764-805)
-                resid_sigma = jnp.where(empty, 0.0, resid_sigma)
-            sigma = sigma + resid_sigma
-            rgb = jnp.clip(rgb + resid_rgb, 0.0, None)
+            # reference 'target' membrane blend (testbed_nerf.cu:770-805);
+            # the σ-ratio is the dt→0 limit of the α-ratio; empty wins
+            on = (resid_out > 1e-9) & ~empty
+            tgt_w = jnp.clip(coords.warp_position(pos0, bbox), 0.0, 1.0)
+            sigma_tgt = model.density(params, tgt_w)
+            sigma_new = jnp.minimum(jnp.maximum(sigma_tgt, sigma), sigma + resid_sigma)
+            den = sigma + resid_out
+            w_n = jnp.where(den > 1e-9, sigma / jnp.maximum(den, 1e-9), 1.0)
+            rgb_mix = w_n[:, None] * rgb + (1.0 - w_n)[:, None] * resid_rgb
+            sigma = jnp.where(on, sigma_new, sigma)
+            rgb = jnp.clip(jnp.where(on[:, None], rgb_mix, rgb), 0.0, None)
         return rgb.reshape(rows, B, B, 3), sigma.reshape(rows, B, B)
 
     fn = jax.jit(eval_rows)

@@ -126,19 +126,20 @@ def _eval_window(
     → (sigma [R,K], rgb [R,K,3])."""
     R, K = samples.t.shape
     empty_mask = None
-    resid_sigma = resid_rgb = None
+    resid_sigma = resid_rgb = resid_out = None
     if operators:
         from nerfshop_tpu.editing import operators as op_lib
 
         pos_world = origins[:, None, :] + samples.t[..., None] * directions[:, None, :]
         dirs_world = jnp.broadcast_to(directions[:, None, :], pos_world.shape)
-        p, dvec, empty, rs, rc = op_lib.map_samples_through_stack_full(
+        p, dvec, empty, rs, ro, rc = op_lib.map_samples_through_stack_full(
             list(operators), pos_world.reshape(-1, 3), dirs_world.reshape(-1, 3)
         )
         pos_w = jnp.clip(coords.warp_position(p.reshape(R, K, 3), aabb), 0.0, 1.0)
         dir_w = coords.warp_direction(dvec.reshape(R, K, 3))
         empty_mask = empty.reshape(R, K)
         resid_sigma = rs.reshape(R, K)
+        resid_out = ro.reshape(R, K)
         resid_rgb = rc.reshape(R, K, 3)
     else:
         pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
@@ -183,21 +184,29 @@ def _eval_window(
         # reference: composite_kernel_nerf 764-767)
         sigma = jnp.where(empty_mask, 0.0, sigma)
     if resid_sigma is not None:
-        # empty_mask has ABSOLUTE priority (reference: the α=0 branch comes
-        # first, residual logic lives in the else — testbed_nerf.cu:764-805):
-        # a vacated sample must stay σ=0 even if it carries a residual,
-        # otherwise the blend re-densifies emptied cells with σ_target.
-        on = resid_sigma > 1e-9
+        # reference parity (composite_kernel_nerf testbed_nerf.cu:770-805,
+        # compute_residual_poisson_kernel cage_deformation.cu:431): the GATE
+        # and the α-ratio weight use the receiving scene's OUTSIDE density
+        # (×amplitude); the residual density only bounds the σ clamp; rgb is
+        # mixed with eval_sh9 of the α-weighted SH correction in BOTH modes:
+        #   target:   σ = min(max(σ_target, σ_src), σ_src + σ_resid)
+        #   additive: σ = σ_src + σ_resid
+        #   rgb = w_N·rgb_src + w_R·rgb_sh,  w_R = α_R/(α_N+α_R), α_R from
+        #   the outside density.
+        # empty_mask has ABSOLUTE priority (the α=0 branch comes first,
+        # residual logic lives in the else): a vacated sample stays σ=0.
+        on = resid_out > 1e-9
         if empty_mask is not None:
             on = on & ~empty_mask
-            resid_sigma = jnp.where(empty_mask, 0.0, resid_sigma)
+        dt = samples.dt
+        alpha_n = 1.0 - jnp.exp(-sigma * dt)
+        alpha_r = 1.0 - jnp.exp(-resid_out * dt)
+        den = alpha_n + alpha_r
+        w_n = jnp.where(den > 1e-12, alpha_n / jnp.maximum(den, 1e-12), 1.0)
+        rgb_mix = w_n[..., None] * rgb_s + (1.0 - w_n)[..., None] * resid_rgb
         if opts.membrane_mode == "target":
-            # reference parity (composite_kernel_nerf testbed_nerf.cu:770-805,
-            # poisson_target): density clamped between the RECEIVING scene's
-            # own density at the sample (σ_target — the "old network" output,
-            # i.e. the field at the UNWARPED position) and source+residual:
-            #   σ = min(max(σ_target, σ_src), σ_src + σ_resid)
-            # color mixed by the α-ratio:  w_N·rgb + w_R·rgb_sh_residual.
+            # σ_target = the receiving scene's own density at the sample
+            # (the field at the UNWARPED position)
             tgt_pos_w = jnp.clip(
                 coords.warp_position(pos_world.reshape(-1, 3), aabb), 0.0, 1.0
             )
@@ -205,18 +214,10 @@ def _eval_window(
             sigma_new = jnp.minimum(
                 jnp.maximum(sigma_tgt, sigma), sigma + resid_sigma
             )
-            dt = samples.dt
-            alpha_n = 1.0 - jnp.exp(-sigma * dt)
-            alpha_r = 1.0 - jnp.exp(-resid_sigma * dt)
-            den = alpha_n + alpha_r
-            w_n = jnp.where(den > 1e-12, alpha_n / jnp.maximum(den, 1e-12), 1.0)
-            rgb_mix = w_n[..., None] * rgb_s + (1.0 - w_n)[..., None] * resid_rgb
-            sigma = jnp.where(on, sigma_new, sigma)
-            rgb_s = jnp.where(on[..., None], rgb_mix, rgb_s)
         else:
-            # additive simplification (round-2 behavior; kept as an option)
-            sigma = sigma + resid_sigma
-            rgb_s = jnp.clip(rgb_s + resid_rgb, 0.0, None)
+            sigma_new = sigma + resid_sigma
+        sigma = jnp.where(on, sigma_new, sigma)
+        rgb_s = jnp.where(on[..., None], rgb_mix, rgb_s)
     return sigma, rgb_s
 
 

@@ -79,7 +79,7 @@ def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.n
     stack changed (warped, emptied, or membrane-corrected)."""
     from nerfshop_tpu.editing import operators as op_lib
 
-    p, dvec, empty, rs, rc = op_lib.map_samples_through_stack_full(list(operators), pos_world, dir_world)
+    p, dvec, empty, rs, ro, rc = op_lib.map_samples_through_stack_full(list(operators), pos_world, dir_world)
     pos_w = jnp.clip(coords.warp_position(p, aabb), 0.0, 1.0)
     dir_w = coords.warp_direction(dvec)
     rgb, sigma = model(params, pos_w, dir_w)
@@ -87,17 +87,18 @@ def teacher_field(model: NerfNetwork, params, operators: tuple, pos_world: jnp.n
     # empty has ABSOLUTE priority over the membrane blend (reference: the
     # α=0 branch precedes the residual logic, testbed_nerf.cu:764-805) —
     # without the gate, vacated samples re-densify to min(max(σ_tgt,0),rs)
-    on = (rs > 1e-9) & ~empty
+    on = (ro > 1e-9) & ~empty
     if jnp.ndim(rs) and operators:
         # membrane blend, REFERENCE semantics (composite_kernel_nerf
         # testbed_nerf.cu:770-805, poisson_target): density clamped between
         # the receiving scene's own value at the sample and src+residual —
         # the raw additive form stacks walls of residual density (σ+~100)
         # that destabilize the distillation student (NaN within steps);
-        # color mixed by the σ-ratio (the dt→0 limit of the α-ratio).
+        # the gate and color weight use the OUTSIDE density, with the
+        # σ-ratio as the dt→0 limit of the reference's α-ratio.
         sigma_tgt = model.density(params, jnp.clip(coords.warp_position(pos_world, aabb), 0.0, 1.0))
         sigma_new = jnp.minimum(jnp.maximum(sigma_tgt, sigma), sigma + rs)
-        den = sigma + rs
+        den = sigma + ro
         w_n = jnp.where(den > 1e-9, sigma / jnp.maximum(den, 1e-9), 1.0)
         rgb_mix = w_n[:, None] * rgb + (1.0 - w_n)[:, None] * rc
         sigma = jnp.where(on, sigma_new, sigma)

@@ -187,6 +187,21 @@ class ViewerServer:
                     offset=req.get("offset"),
                 )
                 self._reapply(tb)
+            elif verb == "membrane":
+                # Poisson membrane toggle (reference GUI poisson section,
+                # growing_selection.cu:2220-2409): build boundary values for
+                # the current deformation, attach to the (re)applied operator
+                import jax
+
+                amp = float(req.get("amplitude", 1.0))
+                if amp <= 0.0:
+                    self._gs.clear_membrane()
+                else:
+                    self._gs.compute_membrane(
+                        tb._state.inference_params, jax.random.PRNGKey(5),
+                        amplitude=amp, grid=tb._grid,
+                    )
+                self._reapply(tb)
             elif verb == "apply":
                 op = self._gs.make_operator()
                 tb.add_edit_operator(op)

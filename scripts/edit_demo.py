@@ -157,7 +157,7 @@ def main():
     lut_s = time.perf_counter() - t0
     membrane = poisson_lib.compute_membrane(
         tb._model, tb._state.inference_params, gs.cage, gs.tet_mesh, aabb,
-        jax.random.PRNGKey(5),
+        jax.random.PRNGKey(5), grid=tb._grid,
     )
     op = op._replace(membrane=membrane)
     tb.add_edit_operator(op)

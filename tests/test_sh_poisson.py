@@ -39,6 +39,7 @@ def test_membrane_residuals_shapes():
     rng = np.random.default_rng(1)
     mem = MembraneData(
         density=jnp.asarray(rng.uniform(0, 1, (Nt, 4)).astype(np.float32)),
+        outside_density=jnp.asarray(rng.uniform(0.5, 2, (Nt, 4)).astype(np.float32)),
         sh=jnp.asarray(rng.normal(size=(Nt, 4, 9, 3)).astype(np.float32)),
         amplitude=jnp.asarray(2.0),
     )
@@ -46,8 +47,8 @@ def test_membrane_residuals_shapes():
     bary = jnp.asarray(np.full((N, 4), 0.25, np.float32))
     in_t = jnp.asarray([True, True, False, True, False, True, True])
     d = jnp.asarray(np.tile([[0, 0, 1.0]], (N, 1)).astype(np.float32))
-    rs, rc = membrane_residuals_at(mem, tet, bary, in_t, d)
-    assert rs.shape == (N,)
+    rs, ro, rc = membrane_residuals_at(mem, tet, bary, in_t, d)
+    assert rs.shape == (N,) and ro.shape == (N,)
     assert rc.shape == (N, 3)
-    assert float(rs[2]) == 0.0 and float(jnp.abs(rc[2]).sum()) == 0.0
-    assert float(rs[0]) > 0.0
+    assert float(rs[2]) == 0.0 and float(ro[2]) == 0.0 and float(jnp.abs(rc[2]).sum()) == 0.0
+    assert float(rs[0]) > 0.0 and float(ro[0]) > 0.0
