@@ -53,9 +53,11 @@ def load_nanovdb(path: str | Path) -> np.ndarray:
     Decodes LEAF nodes directly: every NanoVDB leaf stores its absolute
     index-space origin (LeafData.mBBoxMin, NanoVDB.h:3364) plus a dense 8³
     value array, so the dense volume assembles without walking the
-    root/internal tree. Active constant TILES at internal levels (rare for
-    density volumes) are not expanded — a warning is raised; voxels outside
-    leaves read the root background value.
+    root/internal tree. Active constant TILES — root tiles (4096³ regions)
+    and internal-node tiles (upper: 128³, lower: 8³; InternalData.mTable
+    union slots whose child-mask bit is off and value-mask bit is on,
+    NanoVDB.h:3042-3116) — are expanded coarse-to-fine before the leaves,
+    so uniform interior regions decode exactly.
     """
     raw = Path(path).read_bytes()
     hdr = np.frombuffer(raw, _FILE_HEADER, count=1)[0]
@@ -83,19 +85,82 @@ def load_nanovdb(path: str | Path) -> np.ndarray:
     root_off = _TREEDATA_OFF + int(tree[3])
     # RootData: mBBox (24B) + mTableSize (4B) + mBackground (NanoVDB.h:2718)
     background = float(np.frombuffer(grid, "<f4", count=1, offset=root_off + 28)[0])
-    tile_counts = np.asarray(meta["tileCount"])
-    if tile_counts.sum() > 0:
-        import warnings
-
-        warnings.warn(
-            f"{path}: {int(tile_counts.sum())} active constant tiles are not "
-            "expanded (leaf-only decode); those regions read the background"
-        )
 
     bb = np.asarray(meta["indexBBox"], np.int64)
     lo, hi = bb[0], bb[1]
     dims = np.maximum(hi - lo + 1, 1)
     vol = np.full(tuple(dims), background, np.float32)
+
+    def fill(org, span, value):
+        """Fill the cube [org, org+span) (absolute index coords) clipped."""
+        d0 = org - lo
+        a = np.maximum(d0, 0)
+        b = np.minimum(d0 + span, dims)
+        if (b > a).all():
+            vol[a[0] : b[0], a[1] : b[1], a[2] : b[2]] = value
+
+    # --- root constant tiles (RootData::Tile, NanoVDB.h:2729-2752):
+    # child == 0 ⇒ constant tile over an upper-node footprint (4096³);
+    # state != 0 ⇒ active. Key packs x/y/z >> 12 into 21-bit fields.
+    n_root_tiles = int(np.frombuffer(grid, "<u4", count=1, offset=root_off + 24)[0])
+    if n_root_tiles:
+        rt = np.frombuffer(
+            grid, np.uint8, count=n_root_tiles * 32, offset=root_off + 64
+        ).reshape(n_root_tiles, 32)
+        keys = rt[:, 0:8].copy().view("<u8").reshape(-1)
+        childs = rt[:, 8:16].copy().view("<i8").reshape(-1)
+        states = rt[:, 16:20].copy().view("<u4").reshape(-1)
+        vals = rt[:, 20:24].copy().view("<f4").reshape(-1)
+        M21 = (1 << 21) - 1
+        for t in np.nonzero((childs == 0) & (states != 0))[0]:
+            k = int(keys[t])
+            org = np.asarray(
+                [
+                    np.int32(np.uint32(((k >> 42) & M21) << 12)),
+                    np.int32(np.uint32(((k >> 21) & M21) << 12)),
+                    np.int32(np.uint32((k & M21) << 12)),
+                ],
+                np.int64,
+            )
+            fill(org, 1 << 12, float(vals[t]))
+
+    # --- internal-node constant tiles (InternalData, NanoVDB.h:3042):
+    # header = mBBox(24) + mFlags(8), then value/child Masks, 16B stats,
+    # alignas(32) Tile table of union{f32 value, i64 child} (8B slots).
+    def expand_internal(node_off_rel, n_nodes, log2dim, child_total):
+        if n_nodes == 0:
+            return
+        mask_bytes = (1 << (3 * log2dim)) // 8
+        table_off = -(-(32 + 2 * mask_bytes + 16) // 32) * 32
+        n_tiles = 1 << (3 * log2dim)
+        node_size = table_off + n_tiles * 8
+        span_child = 1 << child_total
+        span_node = span_child << log2dim
+        nodes = np.frombuffer(
+            grid, np.uint8, count=n_nodes * node_size, offset=node_off_rel
+        ).reshape(n_nodes, node_size)
+        bbox_min = nodes[:, :12].copy().view("<i4").reshape(n_nodes, 3)
+        origins = bbox_min & ~(span_node - 1)  # mBBoxMin is the ACTIVE bbox
+        vmask = np.unpackbits(nodes[:, 32 : 32 + mask_bytes], axis=1, bitorder="little")
+        cmask = np.unpackbits(
+            nodes[:, 32 + mask_bytes : 32 + 2 * mask_bytes], axis=1, bitorder="little"
+        )
+        vals = (
+            nodes[:, table_off:].copy().view("<f4").reshape(n_nodes, n_tiles, 2)[:, :, 0]
+        )
+        active = (vmask == 1) & (cmask == 0)
+        dim_mask = (1 << log2dim) - 1
+        for n, t in zip(*np.nonzero(active)):
+            # offset n = x·2^(2·LOG2DIM) + y·2^LOG2DIM + z (i-major, like leaves)
+            tx, ty, tz = (t >> (2 * log2dim)), (t >> log2dim) & dim_mask, t & dim_mask
+            org = origins[n] + np.asarray([tx, ty, tz], np.int64) * span_child
+            fill(org, span_child, float(vals[n, t]))
+
+    n_lower, n_upper = int(node_count[1]), int(node_count[2])
+    upper_off = _TREEDATA_OFF + int(tree[2])
+    lower_off = _TREEDATA_OFF + int(tree[1])
+    expand_internal(upper_off, n_upper, log2dim=5, child_total=7)  # 128³ tiles
+    expand_internal(lower_off, n_lower, log2dim=4, child_total=3)  # 8³ tiles
     if n_leaf:
         leaves = np.frombuffer(grid, np.uint8, count=n_leaf * _LEAF_SIZE_F32, offset=leaf_off)
         leaves = leaves.reshape(n_leaf, _LEAF_SIZE_F32)

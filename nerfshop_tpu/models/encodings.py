@@ -252,9 +252,17 @@ class GridEncoding(Encoding):
         backward reduces brick-row grads onto canonical entries with dense
         adds). Kept per level: gather throughput degrades with operand
         footprint (ops/table_ops.make_level_gather)."""
+        # f32 by default (bf16 won isolated-uniform gather probes but
+        # regressed the real train step — ops/table_ops.py feat_dtype note);
+        # NERFSHOP_BF16_TABLES=1 flips for render/bake-path A/Bs
+        import os
+
+        dt = jnp.float32
+        if os.environ.get("NERFSHOP_BF16_TABLES") == "1" and jax.default_backend() != "cpu":
+            dt = jnp.bfloat16
         blocks = []
         for l in range(self.n_levels):
-            Tl = table[self.level_offsets[l] : self.level_offsets[l + 1]]
+            Tl = table[self.level_offsets[l] : self.level_offsets[l + 1]].astype(dt)
             cols = [Tl if s == 0 else jnp.roll(Tl, -s, axis=0) for s in self._brick_shifts[l]]
             blocks.append(jnp.concatenate(cols, axis=1))
         return blocks
@@ -322,7 +330,10 @@ class GridEncoding(Encoding):
                 feats = jnp.stack(
                     [jnp.take(bricks[l], idx[l], axis=0) for l in range(self.n_levels)]
                 ).reshape(L, N, C, F)
-                out = jnp.einsum("lnc,lncf->lnf", w8.astype(feats.dtype), feats)
+                out = jnp.einsum(
+                    "lnc,lncf->lnf", w8.astype(feats.dtype), feats,
+                    preferred_element_type=jnp.float32,
+                )
             else:
                 out = self._brick_encode(table, idx, w8, w1)  # [L, N, F]
             return out.transpose(1, 0, 2).reshape(N, self.n_output_dims)

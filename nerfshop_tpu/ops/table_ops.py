@@ -27,6 +27,7 @@ tests/test_table_ops.py).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence
 
@@ -183,6 +184,8 @@ def make_brick_encode(
     #   are spatially correlated, so the in-step gathers already ride cache
     #   locality and the casts/bf16 layout only add work.
     feat_dtype = jnp.float32
+    if os.environ.get("NERFSHOP_BF16_TABLES") == "1" and jax.default_backend() != "cpu":
+        feat_dtype = jnp.bfloat16  # probe knob for render-path A/Bs
 
     def _slice(table, l):
         return jax.lax.slice_in_dim(table, level_offsets[l], level_offsets[l] + level_sizes[l])

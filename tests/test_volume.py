@@ -79,9 +79,13 @@ def test_volume_ingest_vdb_hint(tmp_path):
         volume_io.load_volume(p)
 
 
-def _write_test_nvdb(path, dense):
+def _write_test_nvdb(path, dense, tiles=(), index_bbox=None):
     """Minimal uncompressed NanoVDB float-grid writer (ABI v32.3 layout per
-    the reference's vendored NanoVDB.h) used to exercise load_nanovdb."""
+    the reference's vendored NanoVDB.h) used to exercise load_nanovdb.
+
+    ``tiles``: optional [(i0, j0, k0, value)] — 8³ ACTIVE CONSTANT tiles
+    emitted through one lower-internal node (all must share the node's
+    128-aligned origin); exercises the internal-tile expansion path."""
     import struct
 
     import numpy as np
@@ -104,19 +108,35 @@ def _write_test_nvdb(path, dense):
                     leaves.append((i0 + act[0], j0 + act[1], k0 + act[2], blk))
 
     LEAF_SIZE = 96 + 512 * 4
+    LOWER_SIZE = 1088 + 4096 * 8  # hdr(32)+masks(2·512)+stats(16)→align32 + table
     tree_off = 672
+    n_lower = 1 if tiles else 0
     root_off_rel = 64              # root right after TreeData
-    leaf_off_rel = 64 + 64         # leaves after the (tile-less) root
+    lower_off_rel = root_off_rel + 64  # after the (tile-less) root
+    leaf_off_rel = lower_off_rel + n_lower * LOWER_SIZE
     grid_size = tree_off + leaf_off_rel + LEAF_SIZE * len(leaves)
 
     grid = bytearray(grid_size)
     struct.pack_into("<Q", grid, 0, 0x304244566F6E614E)  # GridData.mMagic
     # TreeData: mNodeOffset[4] (leaf, lower, upper, root), mNodeCount[3]
-    struct.pack_into("<4Q", grid, tree_off, leaf_off_rel, 0, 0, root_off_rel)
-    struct.pack_into("<3I", grid, tree_off + 32, len(leaves), 0, 0)
+    struct.pack_into(
+        "<4Q", grid, tree_off, leaf_off_rel, lower_off_rel if n_lower else 0, 0, root_off_rel
+    )
+    struct.pack_into("<3I", grid, tree_off + 32, len(leaves), n_lower, 0)
     # RootData: mBBox(24) mTableSize(4) mBackground(4) ...
     struct.pack_into("<I", grid, tree_off + root_off_rel + 24, 0)
     struct.pack_into("<f", grid, tree_off + root_off_rel + 28, 0.0)
+    if tiles:
+        base = tree_off + lower_off_rel
+        mn = np.min(np.asarray([t[:3] for t in tiles], np.int64), axis=0)
+        struct.pack_into("<3i", grid, base, *mn.tolist())  # mBBoxMin (active)
+        org = mn & ~127
+        for (i0, j0, k0, v) in tiles:
+            li, lj, lk = (i0 - org[0]) // 8, (j0 - org[1]) // 8, (k0 - org[2]) // 8
+            assert 0 <= li < 16 and 0 <= lj < 16 and 0 <= lk < 16
+            n = (li << 8) | (lj << 4) | lk
+            grid[base + 32 + n // 8] |= 1 << (n % 8)  # value mask (LSB-first)
+            struct.pack_into("<f", grid, base + 1088 + 8 * n, v)
     for n, (i0, j0, k0, blk) in enumerate(leaves):
         base = tree_off + leaf_off_rel + n * LEAF_SIZE
         struct.pack_into("<3i", grid, base, i0, j0, k0)
@@ -130,11 +150,14 @@ def _write_test_nvdb(path, dense):
     struct.pack_into("<II", meta, 32, 1, 0)  # gridType=Float, gridClass
     # indexBBox = ACTIVE-voxel bbox (what gridStats writes) — typically
     # unaligned, so the loader's low-side clip path is exercised
-    act = np.argwhere(dense != 0)
-    alo, ahi = act.min(axis=0), act.max(axis=0)
+    if index_bbox is not None:
+        alo, ahi = np.asarray(index_bbox[0], np.int64), np.asarray(index_bbox[1], np.int64)
+    else:
+        act = np.argwhere(dense != 0)
+        alo, ahi = act.min(axis=0), act.max(axis=0)
     struct.pack_into("<6i", meta, 88, *alo.tolist(), *ahi.tolist())  # indexBBox
     struct.pack_into("<I", meta, 136, len(name))  # nameSize
-    struct.pack_into("<4I", meta, 140, len(leaves), 0, 0, 0)  # nodeCount
+    struct.pack_into("<4I", meta, 140, len(leaves), n_lower, 0, 0)  # nodeCount
     with open(path, "wb") as f:
         f.write(header)
         f.write(bytes(meta))
@@ -162,6 +185,29 @@ def test_nanovdb_ingest(tmp_path):
     act = np.argwhere(dense != 0)
     alo, ahi = act.min(axis=0), act.max(axis=0)
     expect = dense[alo[0] : ahi[0] + 1, alo[1] : ahi[1] + 1, alo[2] : ahi[2] + 1]
+    assert out.shape == expect.shape
+    np.testing.assert_allclose(out, expect, atol=0)
+
+
+def test_nanovdb_internal_tiles(tmp_path):
+    """Active constant tiles in a lower-internal node expand to dense 8³
+    blocks (VERDICT r3 #9; reference reads them through the NanoVDB
+    accessor, here they are materialized at load)."""
+    import numpy as np
+
+    from nerfshop_tpu.data import volume_io
+
+    dense = np.zeros((8, 8, 8), np.float32)  # no leaves at all
+    tiles = [(8, 8, 16, 0.7), (16, 8, 16, 0.3), (8, 120, 120, 1.5)]
+    bbox = ((8, 8, 16), (23, 127, 127))
+    p = tmp_path / "tiles.nvdb"
+    _write_test_nvdb(p, dense, tiles=tiles, index_bbox=bbox)
+    out = volume_io.load_volume(p)
+    lo = np.asarray(bbox[0])
+    expect = np.zeros(np.asarray(bbox[1]) - lo + 1, np.float32)
+    for (i0, j0, k0, v) in tiles:
+        a = np.asarray([i0, j0, k0]) - lo
+        expect[a[0] : a[0] + 8, a[1] : a[1] + 8, a[2] : a[2] + 8] = v
     assert out.shape == expect.shape
     np.testing.assert_allclose(out, expect, atol=0)
 
