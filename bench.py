@@ -37,6 +37,28 @@ def _median(xs):
     return xs[len(xs) // 2]
 
 
+def ring_rig(n_views, radius=1.0, center=(0.5, 0.5, 0.5), y=0.9):
+    """[n,3,4] c2w matrices on a ring looking at ``center`` — the shape of
+    every real capture rig (reference datasets aim cameras at the subject).
+    The identity rig used through round 3 placed all cameras at the AABB
+    CORNER looking +z, so 75% of training rays missed the box entirely and
+    the measured slab fill was just the ray-hit fraction (0.25)."""
+    import numpy as np
+
+    c = np.asarray(center, np.float32)
+    out = np.zeros((n_views, 3, 4), np.float32)
+    for i in range(n_views):
+        th = 2 * np.pi * i / n_views
+        pos = c + np.asarray([radius * np.cos(th), y - c[1], radius * np.sin(th)], np.float32)
+        f = c - pos
+        f /= np.linalg.norm(f)
+        r = np.cross(f, np.asarray([0.0, 1.0, 0.0], np.float32))
+        r /= max(np.linalg.norm(r), 1e-9)
+        d = np.cross(f, r)  # image y grows down
+        out[i, :, 0], out[i, :, 1], out[i, :, 2], out[i, :, 3] = r, d, f, pos
+    return out
+
+
 def bench_train():
     import jax
     import jax.numpy as jnp
@@ -58,7 +80,7 @@ def bench_train():
     n_views, res = 8, 256
     data = nerf_train.DeviceDataset(
         images=jnp.asarray(rng.uniform(0, 1, (n_views, res, res, 4)).astype(np.float32)),
-        xforms=jnp.asarray(np.tile(np.eye(4, dtype=np.float32)[:3][None], (n_views, 1, 1))),
+        xforms=jnp.asarray(ring_rig(n_views)),
         focals=jnp.full((n_views, 2), 180.0),
         principals=jnp.full((n_views, 2), 0.5),
         distortions=jnp.zeros((n_views, 4)),

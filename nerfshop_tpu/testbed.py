@@ -820,16 +820,32 @@ class Testbed:
                 r = jnp.sqrt(u[:, 0:1])
                 th = 2.0 * jnp.pi * u[:, 1:2]
                 dof_uv = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], -1)
-            out = renderer.render_frame(
-                self._model, params, self._grid,
-                (width, height), jnp.asarray(cam), jnp.asarray(focal),
-                jnp.asarray(principal), distortion=dist,
-                opts=opts, subpixel_jitter=jitter,
-                operators=tuple(self._edit_operators),
-                envmap=params.get("envmap") if isinstance(params, dict) else None,
-                lens=lens, ftheta_coeffs=ftheta_coeffs, dof_uv=dof_uv,
-                extra_dims=self._render_extra_dims(),
-            )
+            if (
+                jitter is None and dof_uv is None and lens == "pinhole"
+                and self._render_extra_dims() is None and crop is None
+            ):
+                # tiled fast path (shared tile march + coarse cull +
+                # slot-count bucketing); falls back internally for modes it
+                # doesn't carry. spp>1 passes use per-pixel jitter → exact.
+                out = renderer.render_frame_tiled(
+                    self._model, params, self._grid,
+                    (width, height), jnp.asarray(cam), jnp.asarray(focal),
+                    jnp.asarray(principal), distortion=dist,
+                    opts=opts,
+                    operators=tuple(self._edit_operators),
+                    envmap=params.get("envmap") if isinstance(params, dict) else None,
+                )
+            else:
+                out = renderer.render_frame(
+                    self._model, params, self._grid,
+                    (width, height), jnp.asarray(cam), jnp.asarray(focal),
+                    jnp.asarray(principal), distortion=dist,
+                    opts=opts, subpixel_jitter=jitter,
+                    operators=tuple(self._edit_operators),
+                    envmap=params.get("envmap") if isinstance(params, dict) else None,
+                    lens=lens, ftheta_coeffs=ftheta_coeffs, dof_uv=dof_uv,
+                    extra_dims=self._render_extra_dims(),
+                )
             buf.accumulate(out.rgba, out.depth)
         self._last_depth = np.asarray(out.depth)
 

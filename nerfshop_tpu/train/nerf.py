@@ -83,6 +83,10 @@ class DeviceDataset(NamedTuple):
 class NerfTrainConfig:
     n_rays_per_batch: int = 1 << 14
     k_samples: int = 32
+    #: march candidate budget per ray (reference: 1024 steps/ray,
+    #: common_nerf.h:25). The march's grid-probe gathers scale with it, so
+    #: small scenes (aabb_scale 1, single cascade) can train with far fewer.
+    n_candidates: int = 1024
     cone_angle: float = 0.0  # reference: 0 for aabb_scale 1, 1/256 otherwise
     near_distance: float = 0.2  # testbed.h:603
     min_transmittance: float = MIN_TRANSMITTANCE_EVAL
@@ -242,7 +246,7 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
             bundle0.origins, bundle0.directions, grid.occupancy,
             aabb.min, aabb.max, jnp.asarray(cfg.cone_angle),
             rng=k_march, t_start_min=min(0.05, cfg.near_distance),
-            k_samples=cfg.k_samples,
+            k_samples=cfg.k_samples, n_candidates=cfg.n_candidates,
         )
         bg0 = (
             jax.random.uniform(k_bg, (n_rays, 3))

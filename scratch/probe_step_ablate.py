@@ -32,7 +32,7 @@ rng = np.random.default_rng(0)
 n_views, res = 8, 256
 data = nerf_train.DeviceDataset(
     images=jnp.asarray(rng.uniform(0, 1, (n_views, res, res, 4)).astype(np.float32)),
-    xforms=jnp.asarray(np.tile(np.eye(4, dtype=np.float32)[:3][None], (n_views, 1, 1))),
+    xforms=jnp.asarray(__import__("bench").ring_rig(n_views)),
     focals=jnp.full((n_views, 2), 180.0),
     principals=jnp.full((n_views, 2), 0.5),
     distortions=jnp.zeros((n_views, 4)),
@@ -160,7 +160,70 @@ def mk_fwd_only(iters):
     return f
 
 
+def mk_grads_sgd_ablate(stop_paths):
+    """grads with chosen param leaves stop-gradiented INSIDE the
+    differentiated function (a stop applied to the grad fn's *argument* is a
+    no-op — jax.grad differentiates wrt the argument itself). Stopping
+    pos_encoding/table removes the ENTIRE encode-table backward (sort +
+    segsum + corner reduction): positions carry no grad, so no cotangent
+    path reaches the encode op and XLA DCEs its VJP."""
+    loss_fn = nerf_train.loss_lib.LOSSES[cfg.loss_type]
+
+    def stop_leaves(p):
+        flat = jax.tree_util.tree_flatten_with_path(p)[0]
+        treedef = jax.tree.structure(p)
+        out = []
+        for path, leaf in flat:
+            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+            out.append(jax.lax.stop_gradient(leaf) if any(s in key for s in stop_paths) else leaf)
+        return jax.tree.unflatten(treedef, out)
+
+    def make(iters):
+        def loss_of(p, kk):
+            p = stop_leaves(p)
+            k_rays, k_march, k_bg, _ = jax.random.split(kk, 4)
+            img_idx, pix, targets = rays_lib.sample_training_pixels(
+                k_rays, n_rays, data.images, None
+            )
+            b = rays_lib.rays_from_pixels(
+                img_idx, pix, data.xforms, data.focals, data.principals,
+                jnp.asarray([res, res], jnp.float32), data.distortions, None,
+            )
+            samples = march.march_rays_training(
+                b.origins, b.directions, grid.occupancy, aabb.min, aabb.max,
+                jnp.asarray(0.0), rng=k_march, t_start_min=0.05, k_samples=K,
+            )
+            bg = jax.random.uniform(k_bg, (n_rays, 3))
+            loss, aux = nerf_train.nerf_loss_fn(
+                p, model, samples, b.origins, b.directions, targets, bg,
+                aabb, loss_fn, cfg.min_transmittance,
+                near_distance=cfg.near_distance, mean_grid_density=grid.mean_density,
+            )
+            return loss, aux
+
+        gfn = jax.value_and_grad(loss_of, has_aux=True)
+
+        @jax.jit
+        def f(k):
+            def body(i, carry):
+                p, _ = carry
+                (loss, aux), g = gfn(p, jax.random.fold_in(k, i))
+                p2 = jax.tree.map(lambda a, b: a - 1e-9 * b, p, g)
+                return p2, loss
+
+            _, loss = jax.lax.fori_loop(0, iters, body, (state.params, jnp.zeros(())))
+            return loss
+
+        return f
+
+    return make
+
+
 chain_time("full step (grads+adam)", mk_full_step)
 chain_time("grads + sgd coupling", mk_grads_sgd)
+chain_time("grads(probe pipeline), nothing stopped", mk_grads_sgd_ablate([]))
+chain_time("grads, STOP table grad", mk_grads_sgd_ablate(["table"]))
+chain_time("grads, STOP mlp weights", mk_grads_sgd_ablate(["density_mlp", "rgb_mlp", "mlp"]))
+chain_time("grads, STOP table+mlp (loss bwd only)", mk_grads_sgd_ablate(["table", "mlp"]))
 chain_time("march+fwd+loss (no bwd), params vary", mk_fwd_loss)
 chain_time("fwd only (fixed samples), params vary", mk_fwd_only)

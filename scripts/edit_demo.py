@@ -205,6 +205,9 @@ def main():
         "total_seconds": round(time.perf_counter() - t_all, 1),
         "screenshots": str(out_dir),
     }
+    # committed artifact (VERDICT r3 #5): the JSON line is also written next
+    # to the screenshots so the parity numbers live in the repo, not a log
+    (out_dir / "result.json").write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result), flush=True)
 
 
