@@ -27,6 +27,8 @@ from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -478,6 +480,192 @@ _TILED_FIELDS_CACHE: dict = {}
 _CULL_FN_CACHE: dict = {}
 
 
+def _pad_pow2_chunks(n: int, tc: int) -> int:
+    """Smallest tc·2^k ≥ n — pads dynamic host-side selection lengths into a
+    log-bounded family of static program shapes (a handful of compiles per
+    resolution instead of one per frame)."""
+    m = max(1, -(-n // tc))
+    return tc * (1 << (m - 1).bit_length())
+
+
+def _render_tiles_fused(
+    model, params, grid, resolution, xform, focal, principal, distortion,
+    opts: RenderOptions, operators: tuple, envmap, tile: int,
+    bg: jnp.ndarray, op_kinds: tuple,
+) -> FrameOutput:
+    """Fused-phase tiled renderer: the same cull → shared-tile-march →
+    bucketed-slab-eval pipeline as the multi-dispatch path below, but each
+    phase is ONE AOT program with its chunk loop (``lax.map``), row gathers,
+    and scatters INSIDE the executable. The multi-dispatch form made ~40
+    device round-trips per 1080p frame (takes/concats/scatters/reshapes are
+    each a dispatch when issued eagerly); at ~30 ms per round-trip through
+    the serving relay that was ~70% of the frame time. Host syncs remain
+    only where the host genuinely decides (cull mask → survivor list, march
+    counts → bucket membership) — the analog of the reference's single
+    alive-counter readback per compaction round (testbed_nerf.cu:2827)."""
+    W, H = resolution
+    Wt, Ht = -(-W // tile), -(-H // tile)
+    Wp, Hp = Wt * tile, Ht * tile
+    P = tile * tile
+    n_tiles = Wt * Ht
+    tc = max(1, opts.chunk // P)
+    n_casc = grid.occupancy.shape[0]
+    aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
+    K_total = opts.k_samples * max(1, opts.n_windows)
+
+    # --- derived march fields, cached per grid (see render_frame_tiled)
+    global _TILED_FIELDS_FN
+    if _TILED_FIELDS_FN is None:
+        _TILED_FIELDS_FN = _make_tiled_fields_fn()
+    fkey = (id(grid.occupancy), id(grid.density))
+    hit = _TILED_FIELDS_CACHE.get(fkey)
+    if hit is not None and (hit[0] is not grid.occupancy or hit[1] is not grid.density):
+        hit = None
+    if hit is None:
+        hit = _TILED_FIELDS_CACHE[fkey] = (
+            grid.occupancy,
+            grid.density,
+            _TILED_FIELDS_FN(grid.occupancy, grid.density),
+        )
+        if len(_TILED_FIELDS_CACHE) > 4:
+            _TILED_FIELDS_CACHE.pop(next(iter(_TILED_FIELDS_CACHE)))
+    coarse5, fine_dil, fine_undil = hit[2]
+
+    # --- phase 1: center rays + coarse cull, ONE program → bool mask
+    ckey = ("fused-cull", Wt, Ht, opts.aabb_scale, float(opts.cone_angle),
+            opts.n_candidates, n_casc, distortion is not None)
+    cull_fn = _CULL_FN_CACHE.get(ckey)
+    if cull_fn is None:
+        def _cull(xf, f, pp, dist, coarse5):
+            b = rays_lib.rays_for_image((Wt, Ht), xf, f / tile, pp, dist, None)
+            cell = float(2 ** (n_casc - 1)) / 128.0
+            return march.coarse_any_hit(
+                b.origins, b.directions, coarse5, aabb.min, aabb.max,
+                jnp.asarray(opts.cone_angle), n_cascades=n_casc,
+                t_start_min=NEAR_DISTANCE_RENDER,
+                n_candidates=opts.n_candidates, intersect_margin=2 * cell,
+            )
+
+        cull_fn = _AotOnFirstCall(_cull)
+        _CULL_FN_CACHE[ckey] = cull_fn
+    occ_mask = np.asarray(cull_fn(xform, focal, principal, distortion, coarse5))
+    if envmap is not None:
+        occ_mask = np.ones_like(occ_mask)  # envmap bg varies per pixel
+    sel0 = np.nonzero(occ_mask)[0]
+
+    buckets = []  # (sel_ids [Sk] np, rgba [Sk,P,4], depth [Sk,P], n_valid)
+    if len(sel0):
+        # --- phase 2: shared tile march, ONE program (lax.map over chunks;
+        # tile-center rays recomputed arithmetically inside from tile ids)
+        S = _pad_pow2_chunks(len(sel0), tc)
+        sel0_pad = np.concatenate([sel0, np.full(S - len(sel0), sel0[-1], sel0.dtype)])
+        sel0_j = jnp.asarray(sel0_pad.astype(np.int32))
+        mkey = (opts, tc, n_casc, Wt, Wp, Hp, distortion is not None, S, "fused-march")
+        march_fn = _CHUNK_FN_CACHE.get(mkey)
+        if march_fn is None:
+            def _mfn(coarse5, fine_dil, fine_undil, sel_pad, xf, f, pp, dist):
+                def body(sel_c):
+                    _, _, co_c, cd_c = _tile_pixel_rays(
+                        sel_c, Wt, tile, (Wp, Hp), xf, f, pp, dist
+                    )
+                    return _march_tile_chunk(
+                        coarse5, fine_dil, n_casc, co_c, cd_c, opts, fine_undil
+                    )
+
+                t, dt, v, n = jax.lax.map(body, sel_pad.reshape(-1, tc))
+                Kt = t.shape[-1]
+                return (t.reshape(S, Kt), dt.reshape(S, Kt),
+                        v.reshape(S, Kt), n.reshape(S))
+
+            march_fn = _AotOnFirstCall(_mfn)
+            _CHUNK_FN_CACHE[mkey] = march_fn
+        t_all, dt_all, v_all, n_dev = march_fn(
+            coarse5, fine_dil, fine_undil, sel0_j, xform, focal, principal, distortion
+        )
+        n_all = np.asarray(n_dev)
+        if envmap is None:
+            keep = np.nonzero(n_all[: len(sel0)] > 0)[0]
+        else:
+            keep = np.arange(len(sel0))
+
+        # --- phase 3: field eval, ONE program per sample-count bucket (row
+        # gathers from the march output + member-ray generation inside)
+        slabs = [opts.k_samples * (w + 1) for w in range(max(1, opts.n_windows))]
+        n_keep = n_all[keep]
+        lo = 0
+        for bs in slabs:
+            sub = keep[(n_keep > lo) & (n_keep <= bs)] if bs != slabs[-1] else keep[n_keep > lo]
+            if bs == slabs[0] and envmap is not None:
+                sub = keep[(n_keep <= bs)] if len(slabs) > 1 else keep
+            lo = bs
+            if not len(sub):
+                continue
+            Sk = _pad_pow2_chunks(len(sub), tc)
+            sub_pad = np.concatenate([sub, np.full(Sk - len(sub), sub[-1], sub.dtype)])
+            keep_j = jnp.asarray(sub_pad.astype(np.int32))
+            ekey = (id(model), opts, tc, P, op_kinds, envmap is not None, n_casc,
+                    Wt, Wp, Hp, distortion is not None, "fused-eval", bs, S, Sk)
+            eval_fn = _CHUNK_FN_CACHE.get(ekey)
+            if eval_fn is None:
+                def _efn(params, t_all, dt_all, v_all, sel_pad, keep_idx,
+                         xf, f, pp, dist, bg, operators, envmap, _bs=bs, _Sk=Sk):
+                    sel_ids = jnp.take(sel_pad, keep_idx, axis=0)
+                    t_k = jnp.take(t_all, keep_idx, axis=0)[:, :_bs]
+                    dt_k = jnp.take(dt_all, keep_idx, axis=0)[:, :_bs]
+                    v_k = jnp.take(v_all, keep_idx, axis=0)[:, :_bs]
+
+                    def body(args):
+                        sel_c, t_c, dt_c, v_c = args
+                        o, d, _, _ = _tile_pixel_rays(
+                            sel_c, Wt, tile, (Wp, Hp), xf, f, pp, dist
+                        )
+                        return _eval_tile_chunk(
+                            model, params, o, d, t_c, dt_c, v_c, opts, bg,
+                            operators, envmap,
+                        )
+
+                    rgba_b, depth_b = jax.lax.map(
+                        body,
+                        (sel_ids.reshape(-1, tc), t_k.reshape(-1, tc, _bs),
+                         dt_k.reshape(-1, tc, _bs), v_k.reshape(-1, tc, _bs)),
+                    )
+                    return rgba_b.reshape(_Sk, P, 4), depth_b.reshape(_Sk, P)
+
+                eval_fn = _AotOnFirstCall(_efn)
+                _CHUNK_FN_CACHE[ekey] = eval_fn
+            rgba_b, depth_b = eval_fn(
+                params, t_all, dt_all, v_all, sel0_j, keep_j, xform, focal,
+                principal, distortion, bg, operators, envmap,
+            )
+            buckets.append((sel0_pad[sub_pad], rgba_b, depth_b))
+
+    # --- phase 4: assemble, ONE program (sky fill + scatters + de-tiling)
+    akey = ("fused-assemble", Wt, Ht, tile, W, H,
+            tuple(b[1].shape for b in buckets))
+    asm_fn = _CHUNK_FN_CACHE.get(akey)
+    if asm_fn is None:
+        def _afn(bg, *parts):
+            sky_rgba = jnp.concatenate([bg[:3], bg[3:4]])
+            rgba = jnp.broadcast_to(sky_rgba, (n_tiles, P, 4))
+            depth = jnp.zeros((n_tiles, P))
+            for ids, r, d in zip(parts[0::3], parts[1::3], parts[2::3]):
+                rgba = rgba.at[ids].set(r)
+                depth = depth.at[ids].set(d)
+            rgba = rgba.reshape(Ht, Wt, tile, tile, 4)
+            rgba = rgba.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 4)[:H, :W]
+            depth = depth.reshape(Ht, Wt, tile, tile)
+            depth = depth.transpose(0, 2, 1, 3).reshape(Hp, Wp)[:H, :W]
+            return rgba, depth
+
+        asm_fn = _AotOnFirstCall(_afn)
+        _CHUNK_FN_CACHE[akey] = asm_fn
+    flat = []
+    for ids, r, d in buckets:
+        flat += [jnp.asarray(ids.astype(np.int32)), r, d]
+    rgba, depth = asm_fn(bg, *flat)
+    return FrameOutput(rgba, depth)
+
+
 def render_frame_tiled(
     model: NerfNetwork,
     params,
@@ -527,6 +715,12 @@ def render_frame_tiled(
     n_casc = grid.occupancy.shape[0]
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
     K_total = opts.k_samples * max(1, opts.n_windows)
+
+    if os.environ.get("NERFSHOP_TILED_FUSED", "1") == "1":
+        return _render_tiles_fused(
+            model, params, grid, resolution, xform, focal, principal,
+            distortion, opts, operators, envmap, tile, bg, op_kinds,
+        )
 
     # --- phase 0: derived march fields, cached per grid. Entries hold
     # strong refs to the source arrays and hits verify identity (`is`):
