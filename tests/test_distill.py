@@ -47,5 +47,5 @@ def test_distill_matches_edited_render(trained):
     psnr = -10 * np.log10(mse + 1e-12)
     # CPU mini-run gate (300 steps, tiny model): the distilled standalone
     # render must match the operator-stack render. Converges to ~27.7 dB at
-    # 500 steps (TPU-validated); 20 dB leaves margin for the shorter run.
-    assert psnr > 20.0, psnr
+    # 500 steps (TPU-validated); VERDICT r3 #5 raised the bar from 20 dB.
+    assert psnr > 25.0, psnr
