@@ -52,10 +52,17 @@ step_fn = nerf_train.make_train_step(model, spec, cfg)
 ITERS = 8
 
 
+import os as _os2
+
+# per-run salt: the relay memoizes identical (program, args) across
+# processes — fixed keys make rerun timings instant-replay garbage
+_SALT = int(_os2.environ.get("PROBE_SALT", str(int(time.time()) % 100000)))
+
+
 def chain_time(name, make_fn):
     f_many = make_fn(ITERS)
     f_one = make_fn(1)
-    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    ks = jax.random.split(jax.random.PRNGKey(9 + _SALT), 4)
     float(np.asarray(f_many(ks[0])))
     float(np.asarray(f_one(ks[1])))
     t0 = time.perf_counter()
@@ -219,11 +226,63 @@ def mk_grads_sgd_ablate(stop_paths):
     return make
 
 
-chain_time("full step (grads+adam)", mk_full_step)
-chain_time("grads + sgd coupling", mk_grads_sgd)
-chain_time("grads(probe pipeline), nothing stopped", mk_grads_sgd_ablate([]))
-chain_time("grads, STOP table grad", mk_grads_sgd_ablate(["table"]))
-chain_time("grads, STOP mlp weights", mk_grads_sgd_ablate(["density_mlp", "rgb_mlp", "mlp"]))
-chain_time("grads, STOP table+mlp (loss bwd only)", mk_grads_sgd_ablate(["table", "mlp"]))
-chain_time("march+fwd+loss (no bwd), params vary", mk_fwd_loss)
-chain_time("fwd only (fixed samples), params vary", mk_fwd_only)
+def mk_model_grads_fixed(stop_paths):
+    """value_and_grad of sum(model fwd) at FIXED sample positions — the
+    model fwd+bwd alone, no march/composite/loss. Against mk_fwd_only this
+    splits the in-step backward between the model and everything else."""
+    pos = jax.random.uniform(jax.random.PRNGKey(3), (batch, 3))
+    dirs = jax.random.uniform(jax.random.PRNGKey(4), (batch, 3))
+
+    def stop_leaves(p):
+        flat = jax.tree_util.tree_flatten_with_path(p)[0]
+        treedef = jax.tree.structure(p)
+        out = []
+        for path, leaf in flat:
+            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+            out.append(jax.lax.stop_gradient(leaf) if any(s in key for s in stop_paths) else leaf)
+        return jax.tree.unflatten(treedef, out)
+
+    def make(iters):
+        def loss_of(p):
+            rgb, sigma = model(stop_leaves(p), pos, dirs)
+            return jnp.sum(rgb) * 1e-6 + jnp.sum(sigma) * 1e-6
+
+        gfn = jax.value_and_grad(loss_of)
+
+        @jax.jit
+        def f(k):
+            def body(i, carry):
+                p, _ = carry
+                v, g = gfn(p)
+                p2 = jax.tree.map(lambda a, b: a - 1e-12 * b, p, g)
+                return p2, v
+
+            _, v = jax.lax.fori_loop(0, iters, body, (state.params, jnp.zeros(())))
+            return v
+
+        return f
+
+    return make
+
+
+import os as _os
+
+_only = _os.environ.get("PROBE_ONLY")
+_only = [s.strip() for s in _only.split(",")] if _only else None
+
+
+def _maybe(name, make_fn):
+    if _only is None or any(s in name for s in _only):
+        chain_time(name, make_fn)
+
+
+_maybe("full step (grads+adam)", mk_full_step)
+_maybe("model grads, fixed samples", mk_model_grads_fixed([]))
+_maybe("model grads fixed, STOP table", mk_model_grads_fixed(["table"]))
+_maybe("grads + sgd coupling", mk_grads_sgd)
+_maybe("grads(probe pipeline), nothing stopped", mk_grads_sgd_ablate([]))
+_maybe("grads, STOP table grad", mk_grads_sgd_ablate(["table"]))
+_maybe("grads, STOP mlp weights", mk_grads_sgd_ablate(["density_mlp", "rgb_mlp", "mlp"]))
+_maybe("grads, STOP table+mlp (loss bwd only)", mk_grads_sgd_ablate(["table", "mlp"]))
+_maybe("march+fwd+loss (no bwd), params vary", mk_fwd_loss)
+_maybe("fwd only (fixed samples), params vary", mk_fwd_only)
