@@ -110,20 +110,27 @@ def bench_train():
 
     # Adaptive (rays, K) bucketing — the Testbed's fill control (testbed.py
     # bucket adjustment; reference auto-scales rays/batch via Counters,
-    # testbed_nerf.cu:3668): shrink K while almost no ray hits its budget so
-    # the [R, K] slab carries mostly REAL samples; grow K when the march
-    # truncates. The bench floor is 8 (the Testbed floors at 32 for training
-    # robustness; here the metric is honest throughput at fill → 1).
+    # testbed_nerf.cu:3668): pick K so the [R, K] slab carries mostly REAL
+    # samples. Round 4's double/halve loop stalled at fill 0.62 (its 0.08
+    # overflow threshold let K overshoot); this one solves for K directly
+    # from the measured mean samples/ray (K ≈ s̄ / 0.88, multiples of 8) and
+    # only grows K when the march truncates. Floor 8 (the Testbed floors at
+    # 32 for training robustness; here the metric is honest throughput).
     for _ in range(6):
         key, k1 = jax.random.split(key)
         state, ys = loops[16](state, grid, data, k1)  # warm/compile + probe
+        slab = cfg.n_rays_per_batch * cfg.k_samples
+        fill = float(np.asarray(ys["measured_samples"]).mean()) / slab
         overflow = float(np.asarray(ys["sample_overflow_frac"]).mean())
-        if overflow > 0.6 and k_samples < 1024:
-            k_samples *= 2
-        elif overflow < 0.08 and k_samples > 8:
-            k_samples //= 2
+        if overflow > 0.5 and k_samples < 1024:
+            k_new = min(1024, k_samples * 2)
+        elif fill < 0.78 and k_samples > 8:
+            k_new = max(8, int(np.ceil(k_samples * fill / 0.88 / 8.0)) * 8)
         else:
             break
+        if k_new == k_samples:
+            break
+        k_samples = k_new
         cfg, loops = build_loops(k_samples)
 
     # the shipped trainer runs 16 steps per device program (make_train_loop,
@@ -281,6 +288,8 @@ def bench_edit_rebake():
         )
         return TriMesh(v, f)
 
+    from nerfshop_tpu.editing import operators as op_lib
+
     model = build_nerf_network(default_nerf_config(), aabb_scale=1)
     params = model.init(jax.random.PRNGKey(0))
     aabb = coords.BoundingBox.from_aabb_scale(1)
@@ -288,21 +297,36 @@ def bench_edit_rebake():
     cage = Cage.from_mesh(cube_mesh(0.35, 0.65))
     tm = TetMesh.from_cage(cage, ideal_edge=0.08)
     tm.update_deformed(cage)
+    op = CageDeformationOp.from_tet_mesh(tm)
 
-    def rebake(offset):
+    # one full bake up front (a NEW edit pays this once); drags after that
+    # go through the incremental ROI path exactly like
+    # Testbed.bake_interactive does in the viewer loop
+    t0 = time.perf_counter()
+    vol = baked.bake_volume(model, params, aabb, resolution=256, operators=(op,))
+    jax.block_until_ready(vol.fields[0])
+    float(np.asarray(vol.fields[0][0, 0, 0, 0]))
+    t_full = time.perf_counter() - t0
+
+    def rebake(vol, op_prev, offset):
         t0 = time.perf_counter()
         cage.translate(np.asarray([offset, 0.0, 0.0], np.float32))
         tm.update_deformed(cage)
         op = CageDeformationOp.from_tet_mesh(tm)  # per-drag LUT rebuild
         t_lut = time.perf_counter() - t0
-        vol = baked.bake_volume(model, params, aabb, resolution=256, operators=(op,))
+        lo_a, hi_a = op_lib.operator_roi_aabb(op_prev)
+        lo_b, hi_b = op_lib.operator_roi_aabb(op)
+        vol = baked.update_volume_region(
+            vol, model, params, aabb,
+            np.minimum(lo_a, lo_b), np.maximum(hi_a, hi_b), operators=(op,),
+        )
         jax.block_until_ready(vol.fields[0])
         float(np.asarray(vol.fields[0][0, 0, 0, 0]))
-        return t_lut, time.perf_counter() - t0
+        return vol, op, t_lut, time.perf_counter() - t0
 
-    rebake(0.05)  # warm/compile
-    t_lut, t_total = rebake(0.02)  # moved cage: fresh args, no memoization
-    return t_total, t_lut
+    vol, op, _, _ = rebake(vol, op, 0.05)  # warm/compile
+    _, _, t_lut, t_total = rebake(vol, op, 0.02)  # fresh args: no memoization
+    return t_total, t_lut, t_full
 
 
 def bench_field_eval():
@@ -358,9 +382,14 @@ FOX_SCENE = "/root/reference/data/nerf/fox"
 
 def bench_fox():
     """Real-capture anchor (reference README.md:226 — "fox in under 5 s"):
-    train steps/s on the fox scene, eval PSNR at ¼ res on held-in views,
-    and one exact-render frame. Regresses the round-2 27.7 dB artifact
-    driver-visibly (VERDICT r3 missing #4 / next #8)."""
+    train steps/s on the fox scene, then PSNR via the run.py eval protocol
+    (scripts/run.py:228-302 counterpart: EXACT render path, black bg,
+    min_transmittance 1e-4, sRGB compositing of GT over black) on an
+    evenly-subsampled view set at ¼ res. Round 4's 20.24 dB was the tiled
+    path's approximation error (the builder-run bench with the exact path
+    scored 27.19 dB on the same config) — eval now pins exact=True, and the
+    tiled-vs-exact and baked-vs-exact deltas are reported as their own
+    extras (VERDICT r4 asks #3 and #7)."""
     import numpy as np
 
     from nerfshop_tpu import Testbed, TestbedMode
@@ -375,31 +404,80 @@ def bench_fox():
     tb.train(n_steps, 1 << 18)
     dt = time.perf_counter() - t0
 
-    ds = nerf_loader.load_nerf(FOX_SCENE + "/transforms.json", downscale=4, max_images=3)
+    # eval protocol: every view is a training view on fox (the scene ships
+    # no test split); run.py's --eval_subsample analog keeps the bench
+    # bounded while covering the whole ring, spp from env (protocol is 8;
+    # the default here trades spp for view coverage inside the bench budget)
+    subsample = int(os.environ.get("NERFSHOP_BENCH_FOX_EVAL_SUBSAMPLE", "10"))
+    spp = int(os.environ.get("NERFSHOP_BENCH_FOX_EVAL_SPP", "2"))
+    ds = nerf_loader.load_nerf(FOX_SCENE + "/transforms.json", downscale=4)
     tb.nerf.render_min_transmittance = 1e-4
     tb.background_color = np.asarray([0, 0, 0, 1], np.float32)
     tb.dynamic_res = False
-    psnrs = []
-    t_render = None
-    for i in range(ds.n_images):
+    psnrs, psnrs_tiled = [], []
+    t_render = t_render_tiled = None
+    views = list(range(0, ds.n_images, subsample))
+    for i in views:
         gt = np.asarray(ds.images[i])
         H, W = gt.shape[:2]
         intr = ds.intrinsics[i]
-        t1 = time.perf_counter()
-        img = np.asarray(
-            tb.render(
-                W, H, spp=1, linear=False, camera_matrix=ds.xforms[i],
-                focal=intr.focal, principal=intr.principal, distortion=intr.distortion,
-            )
+        kw = dict(
+            camera_matrix=ds.xforms[i], focal=intr.focal,
+            principal=intr.principal, distortion=intr.distortion,
         )
+        t1 = time.perf_counter()
+        img = np.asarray(tb.render(W, H, spp=spp, linear=False, exact=True, **kw))
         t_render = time.perf_counter() - t1
-        psnrs.append(float(metrics.psnr(img[..., :3], gt[..., :3] * gt[..., 3:4])))
-    return {
+        gt_rgb = gt[..., :3] * gt[..., 3:4]
+        psnrs.append(float(metrics.psnr(img[..., :3], gt_rgb)))
+        if i == views[0]:
+            # interactive tiled path on the same view: quantifies the tile
+            # approximation on a REAL trained scene (the synthetic-ball
+            # 30 dB gate demonstrably does not transfer)
+            t1 = time.perf_counter()
+            img_t = np.asarray(tb.render(W, H, spp=1, linear=False, exact=False, **kw))
+            t_render_tiled = time.perf_counter() - t1
+            psnrs_tiled.append(float(metrics.psnr(img_t[..., :3], gt_rgb)))
+
+    out = {
         "fox_train_steps_per_sec": n_steps / dt,
         "fox_train_steps": n_steps + 32,
+        "fox_eval_views": len(views),
+        "fox_eval_spp": spp,
         "fox_psnr_quarter_res": float(np.mean(psnrs)),
-        "fox_exact_render_seconds_quarter_res": t_render,
+        "fox_exact_render_seconds_quarter_res": t_render / max(spp, 1),
+        "fox_tiled_render_seconds_quarter_res": t_render_tiled,
+        "fox_psnr_tiled_quarter_res": float(np.mean(psnrs_tiled)),
     }
+
+    # interactive-baked path on the TRAINED network (VERDICT r4 ask #7):
+    # real bake_volume time through the fox network + baked-vs-exact PSNR
+    # for the first eval view — ties the 17 fps headline to quality.
+    try:
+        import jax
+
+        i = views[0]
+        gt = np.asarray(ds.images[i])
+        H, W = gt.shape[:2]
+        t0 = time.perf_counter()
+        tb.bake_interactive()
+        out["fox_bake_volume_seconds"] = time.perf_counter() - t0
+        img_exact = np.asarray(
+            tb.render(W, H, spp=1, linear=False, exact=True,
+                      camera_matrix=ds.xforms[i], focal=ds.intrinsics[i].focal,
+                      principal=ds.intrinsics[i].principal,
+                      distortion=ds.intrinsics[i].distortion)
+        )
+        img_baked = np.asarray(
+            tb.render_interactive(W, H, camera_matrix=ds.xforms[i],
+                                  focal=ds.intrinsics[i].focal)
+        )
+        out["fox_interactive_vs_exact_psnr_db"] = float(
+            metrics.psnr(img_baked[..., :3], img_exact[..., :3])
+        )
+    except Exception as e:  # noqa: BLE001 — quality extra must not kill fox bench
+        out["error_fox_interactive"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 def main():
@@ -435,7 +513,11 @@ def main():
 
     reb = run("edit_rebake", bench_edit_rebake)
     if reb is not None:
-        extras["edit_rebake_seconds"], extras["edit_rebake_lut_seconds"] = reb
+        (
+            extras["edit_rebake_seconds"],
+            extras["edit_rebake_lut_seconds"],
+            extras["edit_rebake_full_seconds"],
+        ) = reb
 
     field = run("field_eval", bench_field_eval)
     if field is not None:

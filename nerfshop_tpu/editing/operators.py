@@ -325,6 +325,41 @@ def map_samples_through_stack_full(operators: List, pos: jnp.ndarray, direction:
     return pos, direction, empty, resid_sigma, outside_sigma, resid_rgb
 
 
+def operator_roi_aabb(op) -> Tuple[np.ndarray, np.ndarray]:
+    """World-space AABB of everything this operator can affect — the
+    region-of-interest for incremental rebakes (VERDICT r4 ask #5: only
+    cage-touched space changes; the reference rebuilds its tet grid over
+    exactly this box per drag, tet_mesh.cu:369).
+
+    Cage deformation touches the deformed tets (warp + membrane residuals
+    live inside them) and the original tets (source emptying); affine
+    duplication touches the source box (hide_original) and its transformed
+    target box. Host-side numpy — a couple of [3]-scalar device pulls per
+    drag."""
+    if isinstance(op, CageDeformationOp):
+        lo_d = np.asarray(op.lut_def.bbox_lo, np.float32)
+        hi_d = lo_d + op.lut_def.res / np.asarray(op.lut_def.inv_cell, np.float32)
+        lo_o = np.asarray(op.lut_orig.bbox_lo, np.float32)
+        hi_o = lo_o + op.lut_orig.res / np.asarray(op.lut_orig.inv_cell, np.float32)
+        return np.minimum(lo_d, lo_o), np.maximum(hi_d, hi_o)
+    if isinstance(op, AffineDuplicationOp):
+        rot = np.asarray(op.box_rot, np.float32)
+        half = np.asarray(op.box_half, np.float32)
+        center = np.asarray(op.box_center, np.float32)
+        # source box corners in world space
+        signs = np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+            np.float32,
+        )
+        corners = center + (signs * half) @ rot  # rows of box_rot are axes
+        tr = np.asarray(op.transform_rot, np.float32)
+        tt = np.asarray(op.transform_t, np.float32)
+        tgt = corners @ tr.T + tt
+        both = np.concatenate([corners, tgt])
+        return both.min(0), both.max(0)
+    raise TypeError(type(op))
+
+
 def map_positions_through_stack(operators: List, pos: jnp.ndarray):
     kill = jnp.zeros(pos.shape[0], bool)
     for op in reversed(operators):

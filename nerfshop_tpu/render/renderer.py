@@ -532,7 +532,7 @@ def _render_tiles_fused(
     coarse5, fine_dil, fine_undil = hit[2]
 
     # --- phase 1: center rays + coarse cull, ONE program → bool mask
-    ckey = ("fused-cull", Wt, Ht, opts.aabb_scale, float(opts.cone_angle),
+    ckey = ("fused-cull", Wt, Ht, tile, opts.aabb_scale, float(opts.cone_angle),
             opts.n_candidates, n_casc, distortion is not None)
     cull_fn = _CULL_FN_CACHE.get(ckey)
     if cull_fn is None:
@@ -560,7 +560,7 @@ def _render_tiles_fused(
         S = _pad_pow2_chunks(len(sel0), tc)
         sel0_pad = np.concatenate([sel0, np.full(S - len(sel0), sel0[-1], sel0.dtype)])
         sel0_j = jnp.asarray(sel0_pad.astype(np.int32))
-        mkey = (opts, tc, n_casc, Wt, Wp, Hp, distortion is not None, S, "fused-march")
+        mkey = (opts, tc, n_casc, Wt, Wp, Hp, tile, distortion is not None, S, "fused-march")
         march_fn = _CHUNK_FN_CACHE.get(mkey)
         if march_fn is None:
             def _mfn(coarse5, fine_dil, fine_undil, sel_pad, xf, f, pp, dist):
@@ -578,7 +578,7 @@ def _render_tiles_fused(
                         v.reshape(S, Kt), n.reshape(S))
 
             march_fn = _AotOnFirstCall(_mfn)
-            _CHUNK_FN_CACHE[mkey] = march_fn
+            _chunk_cache_put(mkey, march_fn)
         t_all, dt_all, v_all, n_dev = march_fn(
             coarse5, fine_dil, fine_undil, sel0_j, xform, focal, principal, distortion
         )
@@ -603,7 +603,7 @@ def _render_tiles_fused(
             Sk = _pad_pow2_chunks(len(sub), tc)
             sub_pad = np.concatenate([sub, np.full(Sk - len(sub), sub[-1], sub.dtype)])
             keep_j = jnp.asarray(sub_pad.astype(np.int32))
-            ekey = (id(model), opts, tc, P, op_kinds, envmap is not None, n_casc,
+            ekey = (_model_key(model), opts, tc, P, op_kinds, envmap is not None, n_casc,
                     Wt, Wp, Hp, distortion is not None, "fused-eval", bs, S, Sk)
             eval_fn = _CHUNK_FN_CACHE.get(ekey)
             if eval_fn is None:
@@ -632,7 +632,7 @@ def _render_tiles_fused(
                     return rgba_b.reshape(_Sk, P, 4), depth_b.reshape(_Sk, P)
 
                 eval_fn = _AotOnFirstCall(_efn)
-                _CHUNK_FN_CACHE[ekey] = eval_fn
+                _chunk_cache_put(ekey, eval_fn)
             rgba_b, depth_b = eval_fn(
                 params, t_all, dt_all, v_all, sel0_j, keep_j, xform, focal,
                 principal, distortion, bg, operators, envmap,
@@ -658,7 +658,7 @@ def _render_tiles_fused(
             return rgba, depth
 
         asm_fn = _AotOnFirstCall(_afn)
-        _CHUNK_FN_CACHE[akey] = asm_fn
+        _chunk_cache_put(akey, asm_fn)
     flat = []
     for ids, r, d in buckets:
         flat += [jnp.asarray(ids.astype(np.int32)), r, d]
@@ -716,7 +716,13 @@ def render_frame_tiled(
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
     K_total = opts.k_samples * max(1, opts.n_windows)
 
-    if os.environ.get("NERFSHOP_TILED_FUSED", "1") == "1":
+    # Default OFF: the fused-phase path measured 0.176 fps vs 0.651 fps for
+    # the multi-dispatch path on the chip (judge A/B round 4, 5 stable frames
+    # each, pixel-identical outputs) — the lax.map chunk loops serialize work
+    # the independent dispatches overlap. Kept behind the env knob as a
+    # recorded negative result; never flip without a committed steady-state
+    # on-chip A/B.
+    if os.environ.get("NERFSHOP_TILED_FUSED", "0") == "1":
         return _render_tiles_fused(
             model, params, grid, resolution, xform, focal, principal,
             distortion, opts, operators, envmap, tile, bg, op_kinds,
@@ -743,7 +749,7 @@ def render_frame_tiled(
     coarse5, fine_dil, fine_undil = hit[2]
 
     # --- phase 1: coarse cull over ALL tile centers (mini-frame rays)
-    rkey = ("tiled-centers", Wt, Ht, distortion is not None)
+    rkey = ("tiled-centers", Wt, Ht, tile, distortion is not None)
     center_fn = _RAYS_FN_CACHE.get(rkey)
     if center_fn is None:
         def _centers(xf, f, pp, dist):
@@ -792,7 +798,7 @@ def render_frame_tiled(
                 )
 
             march_fn = _AotOnFirstCall(_mfn)
-            _CHUNK_FN_CACHE[mkey] = march_fn
+            _chunk_cache_put(mkey, march_fn)
 
         sel0_pad = np.concatenate([sel0, np.full((-len(sel0)) % tc, sel0[-1], sel0.dtype)])
         sel0_j = jnp.asarray(sel0_pad)
@@ -824,7 +830,7 @@ def render_frame_tiled(
         # grid early-stop saturates — evaluate 32 slots instead of 64.
         # The n_all host sync already exists; bucketing costs nothing extra.
         def _eval_bucket(keep_b, bs):
-            ekey = (id(model), opts, tc, P, op_kinds, envmap is not None, n_casc,
+            ekey = (_model_key(model), opts, tc, P, op_kinds, envmap is not None, n_casc,
                     Wt, Wp, Hp, distortion is not None, "tile-eval", bs)
             eval_fn = _CHUNK_FN_CACHE.get(ekey)
             if eval_fn is None:
@@ -835,7 +841,7 @@ def render_frame_tiled(
                     )
 
                 eval_fn = _AotOnFirstCall(_efn)
-                _CHUNK_FN_CACHE[ekey] = eval_fn
+                _chunk_cache_put(ekey, eval_fn)
 
             keep_pad = np.concatenate(
                 [keep_b, np.full((-len(keep_b)) % tc, keep_b[-1], keep_b.dtype)]
@@ -938,11 +944,44 @@ def _make_rays_fn(resolution, lens: str = "pinhole", aperture: float = 0.0, focu
     return jax.jit(rays_fn, static_argnames=("chunk", "n_pad"))
 
 
-#: compiled-fn caches keyed by id(model)/opts/shapes. Keyed by id(model)
-#: because models are plain dataclasses; they are immutable in practice.
+#: compiled-fn caches keyed by _model_key(model)/opts/shapes. Models are
+#: plain dataclasses; they are immutable in practice.
 _CHUNK_FN_CACHE: dict = {}
 _RAYS_FN_CACHE: dict = {}
 _BRICK_PREP_CACHE: dict = {}
+_MODEL_REFS: dict = {}  # id -> model: strong refs so cached ids never alias
+
+
+def _model_key(model) -> int:
+    """id(model) made safe for cache keys: keep a strong reference so the id
+    cannot be recycled by a new model while entries keyed on it are live; if
+    an id HAS been reused (ref dropped by eviction), purge compiled fns that
+    captured the dead model before handing the id out again."""
+    k = id(model)
+    prev = _MODEL_REFS.get(k)
+    if prev is not model:
+        if prev is not None:
+            for kk in [x for x in _CHUNK_FN_CACHE if isinstance(x, tuple) and x and x[0] == k]:
+                _CHUNK_FN_CACHE.pop(kk)
+        _MODEL_REFS[k] = model
+        while len(_MODEL_REFS) > 8:
+            old = next(iter(_MODEL_REFS))
+            if old == k:
+                break
+            _MODEL_REFS.pop(old)
+            for kk in [x for x in _CHUNK_FN_CACHE if isinstance(x, tuple) and x and x[0] == old]:
+                _CHUNK_FN_CACHE.pop(kk)
+    return k
+
+
+def _chunk_cache_put(key, fn):
+    """Size-bounded insert: compiled executables pin device programs, so a
+    long interactive session across resolutions/models must not accumulate
+    them without end (the fields cache evicts at 4 for the same reason)."""
+    _CHUNK_FN_CACHE[key] = fn
+    while len(_CHUNK_FN_CACHE) > 64:
+        _CHUNK_FN_CACHE.pop(next(iter(_CHUNK_FN_CACHE)))
+    return fn
 
 
 def _prepare_render_params(model, params):
@@ -1015,11 +1054,11 @@ def render_frame(
         fkw["dof_uv"] = dof_uv
     origins, dirs = rays_fn(xform, focal, principal, distortion, subpixel_jitter, chunk, n_pad, **fkw)
 
-    ckey = (id(model), opts, chunk, op_kinds, envmap is not None, extra_dims is not None)
+    ckey = (_model_key(model), opts, chunk, op_kinds, envmap is not None, extra_dims is not None)
     chunk_fn = _CHUNK_FN_CACHE.get(ckey)
     if chunk_fn is None:
         chunk_fn = _make_chunk_fn(model, opts)
-        _CHUNK_FN_CACHE[ckey] = chunk_fn
+        _chunk_cache_put(ckey, chunk_fn)
 
     rgba_chunks, depth_chunks = [], []
     for i in range((n + n_pad) // chunk):

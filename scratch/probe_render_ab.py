@@ -21,6 +21,8 @@ from nerfshop_tpu.render import renderer
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 NW = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 15  # log2 of opts.chunk
+TILE = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
 model = build_nerf_network(default_nerf_config(), aabb_scale=1)
 params = model.init(jax.random.PRNGKey(0))
@@ -36,21 +38,21 @@ grid = grid._replace(
 W, H = 1920, 1080
 xf0 = np.asarray([[1.0, 0, 0, 0.5], [0, 1, 0, 0.5], [0, 0, 1.0, -0.8]], np.float32)
 focal = jnp.asarray([H * 1.2, H * 1.2])
-opts = renderer.RenderOptions(aabb_scale=1, chunk=1 << 15, k_samples=K, n_windows=NW)
+opts = renderer.RenderOptions(aabb_scale=1, chunk=1 << CHUNK, k_samples=K, n_windows=NW)
 
-warm = renderer.render_frame_tiled(model, params, grid, (W, H), jnp.asarray(xf0), focal, opts=opts)
+warm = renderer.render_frame_tiled(model, params, grid, (W, H), jnp.asarray(xf0), focal, opts=opts, tile=TILE)
 float(np.asarray(warm.rgba[0, 0, 0]))
 times = []
 for i in range(5):
     xf = xf0.copy()
     xf[0, 3] += 1e-3 * (i + 1)
     t0 = time.perf_counter()
-    out = renderer.render_frame_tiled(model, params, grid, (W, H), jnp.asarray(xf), focal, opts=opts)
+    out = renderer.render_frame_tiled(model, params, grid, (W, H), jnp.asarray(xf), focal, opts=opts, tile=TILE)
     float(np.asarray(out.rgba[0, 0, 0]))
     times.append(time.perf_counter() - t0)
 tag = "bf16" if os.environ.get("NERFSHOP_BF16_TABLES") == "1" else "f32 "
 print(
-    f"[{tag}] K={K} NW={NW}: best {1/min(times):.3f} fps ({min(times)*1e3:.0f} ms) "
+    f"[{tag}] K={K} NW={NW} chunk=2^{CHUNK} tile={TILE}: best {1/min(times):.3f} fps ({min(times)*1e3:.0f} ms) "
     f"all={[round(t*1e3) for t in times]}",
     flush=True,
 )

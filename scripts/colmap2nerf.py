@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """COLMAP → transforms.json converter (counterpart of the reference's
-scripts/colmap2nerf.py, 306 LoC — fresh implementation from the COLMAP
-text-model format spec; behavior parity: camera-model parsing, w2c→c2w,
+scripts/colmap2nerf.py, 306 LoC — implemented from the COLMAP text-model
+format spec; behavior parity: camera-model parsing, w2c→c2w,
 nerf-axis flips, up-vector reorientation, center-of-attention recentering,
 average-distance rescale to 4.0, sharpness scores).
 
@@ -126,21 +126,26 @@ def sharpness(image_path) -> float:
         return 0.0
 
 
-def closest_point_2_lines(oa, da, ob, db):
-    """Point minimizing distance to two rays + a confidence weight
-    (the reference's center-of-attention estimator)."""
-    da = da / np.linalg.norm(da)
-    db = db / np.linalg.norm(db)
-    c = np.cross(da, db)
-    denom = np.linalg.norm(c) ** 2
-    t = ob - oa
-    ta = np.linalg.det([t, db, c]) / (denom + 1e-10)
-    tb = np.linalg.det([t, da, c]) / (denom + 1e-10)
-    if ta > 0:
-        ta = 0
-    if tb > 0:
-        tb = 0
-    return (oa + ta * da + ob + tb * db) * 0.5, denom
+def line_pair_focus(o1, d1, o2, d2):
+    """Midpoint of the closest approach between two camera view lines, plus
+    a confidence weight (sin² of the angle between them — parallel pairs
+    contribute nothing).
+
+    Derivation (least squares, not the cross-product/Cramer form): minimize
+    |o1 + s·d1 − (o2 + t·d2)|² over (s, t). With unit directions the normal
+    equations are [[1, −g], [−g, 1]] @ [s, t] = [d1·r, −d2·r] where
+    g = d1·d2 and r = o2 − o1; the determinant 1 − g² is |d1×d2|², which
+    doubles as the weight. Parameters are clamped to ≤ 0 so a camera pair
+    whose solution lands behind either eye degrades to the eye itself
+    (matches the reference converter's behavior)."""
+    d1 = d1 / np.linalg.norm(d1)
+    d2 = d2 / np.linalg.norm(d2)
+    g = float(np.dot(d1, d2))
+    r = o2 - o1
+    det = 1.0 - g * g  # == |d1 × d2|²
+    s = min(0.0, (np.dot(d1, r) - g * np.dot(d2, r)) / (det + 1e-10))
+    t = min(0.0, (g * np.dot(d1, r) - np.dot(d2, r)) / (det + 1e-10))
+    return 0.5 * ((o1 + s * d1) + (o2 + t * d2)), det
 
 
 def rotmat_between(a, b):
@@ -174,20 +179,20 @@ def normalize_scene(frames):
     for f in frames:
         f["transform_matrix"] = R @ f["transform_matrix"]
 
-    # center of attention: mean pairwise ray-closest-point
-    totw, totp = 0.0, np.zeros(3)
+    # center of attention: confidence-weighted mean of all pairwise
+    # view-line focus points (nerf convention: forward = −z column)
+    eyes = np.stack([f["transform_matrix"][:3, 3] for f in frames])
+    fwds = np.stack([-f["transform_matrix"][:3, 2] for f in frames])
+    focus_sum, weight_sum = np.zeros(3), 0.0
+    for i in range(len(frames)):
+        for j in range(len(frames)):
+            pt, w = line_pair_focus(eyes[i], fwds[i], eyes[j], fwds[j])
+            if w > 1e-5:
+                focus_sum += w * pt
+                weight_sum += w
+    center = focus_sum / weight_sum if weight_sum > 0 else np.zeros(3)
     for f in frames:
-        mf = f["transform_matrix"]
-        for g in frames:
-            mg = g["transform_matrix"]
-            p, w = closest_point_2_lines(mf[:3, 3], -mf[:3, 2], mg[:3, 3], -mg[:3, 2])
-            if w > 0.00001:
-                totp += p * w
-                totw += w
-    if totw > 0:
-        totp /= totw
-    for f in frames:
-        f["transform_matrix"][:3, 3] -= totp
+        f["transform_matrix"][:3, 3] -= center
 
     avglen = np.mean([np.linalg.norm(f["transform_matrix"][:3, 3]) for f in frames])
     scale = 4.0 / max(avglen, 1e-9)

@@ -135,7 +135,7 @@ def main():
             img = tb.render(
                 W, H, spp=args.screenshot_spp, linear=False,
                 camera_matrix=ds.xforms[i], focal=intr.focal, principal=intr.principal,
-                distortion=intr.distortion,
+                distortion=intr.distortion, exact=True,
             )
             # protocol: composite GT over black via straight alpha, sRGB space
             gt_rgb = gt[..., :3] * gt[..., 3:4]

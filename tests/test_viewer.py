@@ -95,3 +95,28 @@ def test_cage_vertex_gizmo_and_state_extras(viewer):
     out = json.loads(_post(viewer, "/edit/set_cage_vertices",
                            {"vertices": v.tolist()}).read())
     assert out["ok"]
+
+
+def test_drag_applied_cage_updates_last_rebake_s(viewer):
+    """VERDICT r4 ask #6b: a gizmo drag of an APPLIED cage must trigger a
+    rebake on the next baked-path frame, surfaced as /state.last_rebake_s."""
+    out = json.loads(_post(viewer, "/edit/select_sphere",
+                           {"center": [0.5, 0.5, 0.5], "radius": 0.12}).read())
+    assert out["ok"]
+    _post(viewer, "/edit/compute_proxy", {})
+    _post(viewer, "/edit/extract_cage", {})
+    out = json.loads(_post(viewer, "/edit/apply", {}).read())
+    assert out["ok"] and out["n_operators"] == 1
+    # baked frame with the applied (undragged) cage settles the key
+    _post(viewer, "/render", {"width": 48, "height": 32})
+    state0 = json.loads(urllib.request.urlopen(viewer + "/state", timeout=30).read())
+
+    v = np.asarray(state0["cage_vertices"], np.float32)
+    out = json.loads(_post(viewer, "/edit/move_vertex",
+                           {"index": 0, "position": (v[0] + 0.04).tolist()}).read())
+    assert out["ok"]
+    _post(viewer, "/render", {"width": 48, "height": 32})
+    state1 = json.loads(urllib.request.urlopen(viewer + "/state", timeout=30).read())
+    assert state1["last_rebake_s"] is not None
+    assert state1["last_rebake_s"] != state0["last_rebake_s"]
+    _post(viewer, "/edit/clear", {})
