@@ -116,22 +116,33 @@ def bench_train():
     # from the measured mean samples/ray (K ≈ s̄ / 0.88, multiples of 8) and
     # only grows K when the march truncates. Floor 8 (the Testbed floors at
     # 32 for training robustness; here the metric is honest throughput).
-    for _ in range(6):
-        key, k1 = jax.random.split(key)
-        state, ys = loops[16](state, grid, data, k1)  # warm/compile + probe
+    # No overflow-grow branch: the training march is "spread" selection —
+    # a ray with more occupied cells than K subsamples its WHOLE path with
+    # stride-scaled dt (coarser quadrature, reference-budget style), so
+    # overflow does not invalidate samples and growing K on it just dilutes
+    # fill (the r5 first cut grew to K=304 at fill 0.57; r4's double/halve
+    # stalled at 0.62@256 the same way). K trades march cost (∝ rays =
+    # batch/K) against slab fill (dead eval rows), so the bucket is chosen
+    # by MEASURED real rate over a small grid — the analog of the
+    # reference's rays/batch auto-scaling by measured samples (Counters,
+    # testbed_nerf.cu:3668).
+    best = None
+    for k in (32, 48, 64, 96):
+        cfg, loops = build_loops(k)
+        key, k1, k2 = jax.random.split(key, 3)
+        state, ys = loops[16](state, grid, data, k1)  # warm/compile
+        float(np.asarray(ys["loss"])[-1])
+        t0 = time.perf_counter()
+        state, ys = loops[16](state, grid, data, k2)
+        float(np.asarray(ys["loss"])[-1])
+        dt16 = time.perf_counter() - t0
         slab = cfg.n_rays_per_batch * cfg.k_samples
         fill = float(np.asarray(ys["measured_samples"]).mean()) / slab
-        overflow = float(np.asarray(ys["sample_overflow_frac"]).mean())
-        if overflow > 0.5 and k_samples < 1024:
-            k_new = min(1024, k_samples * 2)
-        elif fill < 0.78 and k_samples > 8:
-            k_new = max(8, int(np.ceil(k_samples * fill / 0.88 / 8.0)) * 8)
-        else:
-            break
-        if k_new == k_samples:
-            break
-        k_samples = k_new
-        cfg, loops = build_loops(k_samples)
+        rate = slab * fill / (dt16 / 16.0)
+        if best is None or rate > best[0]:
+            best = (rate, k)
+    k_samples = best[1]
+    cfg, loops = build_loops(k_samples)
 
     # the shipped trainer runs 16 steps per device program (make_train_loop,
     # the reference's steps-per-frame); per-step rng folds inside, the state
@@ -192,9 +203,10 @@ def bench_render():
         [[1.0, 0.0, 0.0, 0.5], [0.0, 1.0, 0.0, 0.5], [0.0, 0.0, 1.0, -0.8]], jnp.float32
     )
     focal = jnp.asarray([H * 1.2, H * 1.2])
-    # the interactive fast path: one shared march per 8×8 tile, larger
-    # chunks to amortize per-dispatch overhead (~4 ms through the tunnel)
-    opts = renderer.RenderOptions(aabb_scale=1, chunk=1 << 15)
+    # chunk 2^13 measured best at 1080p (r5 sweep: 0.661 / 0.652 / 0.627
+    # fps at 2^13/2^14/2^15; 2^17 HALVES fps — big fused programs lose the
+    # dispatch overlap and XLA efficiency the small chunks get)
+    opts = renderer.RenderOptions(aabb_scale=1, chunk=1 << 13)
 
     # warm/compile at FULL resolution (ray/cull/march/eval programs are
     # cached per resolution), then time a steady frame from a perturbed

@@ -306,6 +306,29 @@ class GridEncoding(Encoding):
         idx, w1 = self._brick_fracs(x)
         return idx, table_ops.corner_products(w1)
 
+    def precompute(self, x: jnp.ndarray):
+        """Param-independent half of ``apply`` (brick layout): the slot
+        indices + lerp weights. Computing these OUTSIDE a grad closure keeps
+        the frac pipeline out of the VJP trace (it gets no residuals and no
+        transpose rules) — measured 13.5 ms/step at batch 2^18 on v5e
+        (scratch/probe_bwd_stages.py: manual 33.0 vs in-model 46.5 ms).
+        Falls back to the raw input for non-brick layouts."""
+        if self.layout != "brick":
+            return x
+        from nerfshop_tpu.ops import table_ops
+
+        idx, w1 = self._brick_fracs(x)
+        return (idx, w1, table_ops.corner_products(w1))
+
+    def apply_pre(self, params, pre) -> jnp.ndarray:
+        """apply() from a ``precompute`` result."""
+        if self.layout != "brick":
+            return self.apply(params, pre)
+        idx, w1, w8 = pre
+        out = self._brick_encode(params["table"], idx, w8, w1)  # [L, N, F]
+        N = idx.shape[1]
+        return out.transpose(1, 0, 2).reshape(N, self.n_output_dims)
+
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, D] in [0,1] → [N, L·F].
 

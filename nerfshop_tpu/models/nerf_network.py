@@ -120,6 +120,42 @@ class NerfNetwork:
         rgb = rgb_activation_fn(raw_rgb, self.rgb_activation)
         return rgb, sigma
 
+    def dir_encoding_is_static(self, params) -> bool:
+        """True when the dir encoding has no trainable leaves (SH — the
+        default), so its output can be precomputed outside a grad closure."""
+        if self.dir_encoding is None:
+            return False
+        de = params.get("dir_encoding") if isinstance(params, dict) else None
+        return not jax.tree_util.tree_leaves(de)
+
+    def precompute_raw_inputs(self, params, pos, direction=None, extra=None):
+        """Param-independent forward inputs for :meth:`raw_forward_pre`:
+        (pos-encoding precompute, dir-encoding output or None). Only valid
+        when positions/directions do not depend on trainable params (no
+        camera optimization) and the dir encoding is parameterless."""
+        pre_pos = self.pos_encoding.precompute(pos)
+        d = None
+        if self.dir_encoding is not None and self.dir_encoding_is_static(params):
+            d_in = direction if extra is None else jnp.concatenate([direction, extra], -1)
+            d = self.dir_encoding.apply(params.get("dir_encoding"), d_in).astype(jnp.float32)
+        return pre_pos, d
+
+    def raw_forward_pre(self, params, pre_pos, d_enc, direction=None, extra=None):
+        """raw_forward from precomputed inputs. ``d_enc`` None + use_dir →
+        the dir encoding is evaluated here (it has trainable params)."""
+        h = self.pos_encoding.apply_pre(params["pos_encoding"], pre_pos)
+        feats = self.density_mlp.apply(params["density_mlp"], h)
+        raw_sigma = feats[..., 0]
+        if self.dir_encoding is not None:
+            if d_enc is None:
+                d_in = direction if extra is None else jnp.concatenate([direction, extra], -1)
+                d_enc = self.dir_encoding.apply(params["dir_encoding"], d_in).astype(jnp.float32)
+            rgb_in = jnp.concatenate([feats.astype(jnp.float32), d_enc], axis=-1)
+        else:
+            rgb_in = feats.astype(jnp.float32)
+        raw_rgb = self.rgb_mlp.apply(params["rgb_mlp"], rgb_in)[..., :3]
+        return raw_rgb, raw_sigma
+
     def raw_forward(self, params, pos, direction=None, extra=None):
         """Unactivated (raw_rgb [N,3], raw_sigma [N]) — the analog of the
         4-channel network output the reference's kernels consume."""

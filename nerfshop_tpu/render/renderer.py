@@ -788,32 +788,67 @@ def render_frame_tiled(
 
     if len(sel0):
         # --- phase 2: shared tile march for cull survivors (~27× cheaper
-        # than eval); its exact n==0 verdict prunes the eval set
-        mkey = (opts, tc, n_casc, "tile-march")
-        march_fn = _CHUNK_FN_CACHE.get(mkey)
-        if march_fn is None:
-            def _mfn(coarse5, fine_dil, fine_undil, c_o, c_d):
-                return _march_tile_chunk(
-                    coarse5, fine_dil, n_casc, c_o, c_d, opts, fine_undil
-                )
+        # than eval); its exact n==0 verdict prunes the eval set. ONE
+        # dispatch over all survivors (pow2-padded shape family): the march
+        # per tile is a few hundred narrow gathers, so at 1080p the old
+        # tc-chunked loop was 22 dispatches whose ~30 ms relay overhead
+        # dominated the whole phase (probe_render_phases r5: 689 ms march
+        # wall, ≥600 ms of it dispatch)
+        # march dispatch granularity: 0 = ONE dispatch over all survivors
+        # (pow2-padded); else fixed-size chunks of N tiles. The relay adds
+        # ~30 ms/dispatch but OVERLAPS independent dispatches, so the best
+        # grain is measured, not derived (probe_render_ab sweeps this)
+        # default 512: measured best at 1080p (r5 sweep: grain 512 = 0.642
+        # fps vs one-dispatch 0.627 — the relay overlaps small dispatches
+        # well enough that the single big march program loses)
+        mgrain = int(os.environ.get("NERFSHOP_MARCH_CHUNK", "512"))
+        if mgrain <= 0:
+            S = _pad_pow2_chunks(len(sel0), tc)
+            mkey = (opts, n_casc, S, "tile-march")
+            march_fn = _CHUNK_FN_CACHE.get(mkey)
+            if march_fn is None:
+                def _mfn(coarse5, fine_dil, fine_undil, c_o, c_d):
+                    return _march_tile_chunk(
+                        coarse5, fine_dil, n_casc, c_o, c_d, opts, fine_undil
+                    )
 
-            march_fn = _AotOnFirstCall(_mfn)
-            _chunk_cache_put(mkey, march_fn)
+                march_fn = _AotOnFirstCall(_mfn)
+                _chunk_cache_put(mkey, march_fn)
 
-        sel0_pad = np.concatenate([sel0, np.full((-len(sel0)) % tc, sel0[-1], sel0.dtype)])
-        sel0_j = jnp.asarray(sel0_pad)
-        co_s, cd_s = jnp.take(co, sel0_j, axis=0), jnp.take(cd, sel0_j, axis=0)
-        parts = [
-            march_fn(
-                coarse5, fine_dil, fine_undil,
-                co_s[i * tc : (i + 1) * tc], cd_s[i * tc : (i + 1) * tc],
+            sel0_pad = np.concatenate([sel0, np.full(S - len(sel0), sel0[-1], sel0.dtype)])
+            sel0_j = jnp.asarray(sel0_pad)
+            co_s, cd_s = jnp.take(co, sel0_j, axis=0), jnp.take(cd, sel0_j, axis=0)
+            t_all, dt_all, v_all, n_dev = march_fn(coarse5, fine_dil, fine_undil, co_s, cd_s)
+            n_all = np.asarray(n_dev)
+        else:
+            mkey = (opts, mgrain, n_casc, "tile-march")
+            march_fn = _CHUNK_FN_CACHE.get(mkey)
+            if march_fn is None:
+                def _mfn(coarse5, fine_dil, fine_undil, c_o, c_d):
+                    return _march_tile_chunk(
+                        coarse5, fine_dil, n_casc, c_o, c_d, opts, fine_undil
+                    )
+
+                march_fn = _AotOnFirstCall(_mfn)
+                _chunk_cache_put(mkey, march_fn)
+
+            sel0_pad = np.concatenate(
+                [sel0, np.full((-len(sel0)) % mgrain, sel0[-1], sel0.dtype)]
             )
-            for i in range(len(sel0_pad) // tc)
-        ]
-        t_all = jnp.concatenate([p[0] for p in parts])
-        dt_all = jnp.concatenate([p[1] for p in parts])
-        v_all = jnp.concatenate([p[2] for p in parts])
-        n_all = np.asarray(jnp.concatenate([p[3] for p in parts]))
+            sel0_j = jnp.asarray(sel0_pad)
+            co_s, cd_s = jnp.take(co, sel0_j, axis=0), jnp.take(cd, sel0_j, axis=0)
+            parts = [
+                march_fn(
+                    coarse5, fine_dil, fine_undil,
+                    co_s[i * mgrain : (i + 1) * mgrain],
+                    cd_s[i * mgrain : (i + 1) * mgrain],
+                )
+                for i in range(len(sel0_pad) // mgrain)
+            ]
+            t_all = jnp.concatenate([p[0] for p in parts])
+            dt_all = jnp.concatenate([p[1] for p in parts])
+            v_all = jnp.concatenate([p[2] for p in parts])
+            n_all = np.asarray(jnp.concatenate([p[3] for p in parts]))
         if envmap is None:
             keep = np.nonzero(n_all[: len(sel0)] > 0)[0]
         else:

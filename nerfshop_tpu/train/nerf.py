@@ -131,20 +131,28 @@ def nerf_loss_fn(
     near_distance: float = 0.0,
     mean_grid_density: Optional[jnp.ndarray] = None,
     extra: Optional[jnp.ndarray] = None,  # [R, E] per-ray extra dims
+    precomputed=None,  # (pre_pos, d_enc) from model.precompute_raw_inputs
 ) -> Tuple[jnp.ndarray, dict]:
     from nerfshop_tpu.common import NERF_MIN_OPTICAL_THICKNESS
     from nerfshop_tpu.models import nerf_network as nn_lib
 
     R, K = samples.t.shape
-    pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
-    extra_flat = None
-    if extra is not None:
-        extra_flat = jnp.broadcast_to(extra[:, None, :], (R, K, extra.shape[-1])).reshape(
-            R * K, extra.shape[-1]
+    if precomputed is not None:
+        # fast path: encode indices/fracs + SH dir output were computed
+        # OUTSIDE the grad closure (they don't depend on trainable params
+        # when camera opt is off) — keeps them out of the VJP trace,
+        # ~13.5 ms/step at 2^18 on v5e (probe_bwd_stages manual-vs-model)
+        raw_rgb, raw_sigma = model.raw_forward_pre(params, *precomputed)
+    else:
+        pos_w, dir_w = march.samples_to_network_inputs(samples, origins, directions, aabb)
+        extra_flat = None
+        if extra is not None:
+            extra_flat = jnp.broadcast_to(extra[:, None, :], (R, K, extra.shape[-1])).reshape(
+                R * K, extra.shape[-1]
+            )
+        raw_rgb, raw_sigma = model.raw_forward(
+            params, pos_w.reshape(R * K, 3), dir_w.reshape(R * K, 3), extra=extra_flat
         )
-    raw_rgb, raw_sigma = model.raw_forward(
-        params, pos_w.reshape(R * K, 3), dir_w.reshape(R * K, 3), extra=extra_flat
-    )
     rgb = nn_lib.rgb_activation_fn(raw_rgb, model.rgb_activation).reshape(R, K, 3)
     sigma = nn_lib.density_activation_fn(raw_sigma, model.density_activation).reshape(R, K)
     raw_sigma = raw_sigma.reshape(R, K)
@@ -254,6 +262,28 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
             else jnp.zeros((n_rays, 3))
         )
 
+        # precompute param-independent forward inputs (encode fracs + SH)
+        # outside the grad closure — only valid when rays are fixed wrt
+        # params (no camera opt)
+        pre = None
+        if not cfg.optimize_extrinsics:
+            R_, K_ = samples.t.shape
+            pos_w0, dir_w0 = march.samples_to_network_inputs(
+                samples, bundle0.origins, bundle0.directions, aabb
+            )
+            extra0 = None
+            if data.light_dirs is not None and model.n_extra_dims:
+                e = coords.warp_direction(data.light_dirs[img_idx])
+                extra0 = jnp.broadcast_to(
+                    e[:, None, :], (R_, K_, e.shape[-1])
+                ).reshape(R_ * K_, e.shape[-1])
+            pre = model.precompute_raw_inputs(
+                params, pos_w0.reshape(R_ * K_, 3), dir_w0.reshape(R_ * K_, 3),
+                extra=extra0,
+            )
+            if model.use_dir and pre[1] is None:
+                pre = None  # dir encoding has trainable params: no fast path
+
         def loss_of(p):
             cam = p.get("camera") if cfg.optimize_extrinsics else None
             if cam is not None:
@@ -287,6 +317,7 @@ def make_grad_fn(model: NerfNetwork, cfg: NerfTrainConfig, n_rays: Optional[int]
                 near_distance=cfg.near_distance,
                 mean_grid_density=grid.mean_density,
                 extra=extra,
+                precomputed=pre,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
