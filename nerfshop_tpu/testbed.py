@@ -792,9 +792,18 @@ class Testbed:
             v = float(d[ty, tx])
             if np.isfinite(v) and v > 1e-3:
                 focus = self.focus_z = v
+        # chunk bounded so chunk × K_total rows fit: the brick layout costs
+        # ~64 B/sample-row; the "plain" tcnn-parity layout (.ingp imports —
+        # XOR hash, cannot be re-bricked) materializes [N, L, 2^D] index +
+        # feature tensors ~1 KB/row, and an unbounded chunk at K=512 asked
+        # for a 34 GB allocation on v5e (r5 edit-demo snapshot run)
+        layout = getattr(getattr(self._model, "pos_encoding", None), "layout", "brick")
+        rows_cap = (1 << 22) if layout == "brick" else (1 << 20)
+        chunk = max(512, min(1 << 13, rows_cap // max(2 * k_render, 1)))
         opts = renderer.RenderOptions(
             k_samples=k_render,
             n_windows=2,
+            chunk=chunk,
             use_grid_early_stop=occ_frac < 0.15,
             cone_angle=self._train_cfg.cone_angle if self._train_cfg else 0.0,
             aabb_scale=self._train_cfg.aabb_scale if self._train_cfg else 1,

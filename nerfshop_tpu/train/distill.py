@@ -300,7 +300,18 @@ def distill(
     )
     state = optim.create_train_state(init, spec)
     step = make_distill_step(model, teacher_params, operators, spec, cfg)
-    for _ in range(n_steps):
+    for i in range(n_steps):
         rng, k = jax.random.split(rng)
         state, aux = step(state, grid_edited, data, k)
+        if (i & 127) == 0 or i == n_steps - 1:
+            # degenerate-training guard (reference aborts on 0-sample/NaN
+            # loss, testbed_nerf.cu:3770): a diverged student silently
+            # renders all-NaN otherwise — fail loudly with the step number
+            l = float(aux["loss"])
+            if not (l == l and abs(l) < 1e30):
+                raise RuntimeError(
+                    f"distillation diverged at step {i}: loss={l} "
+                    "(check DistillConfig.aabb_scale/cone_angle match the "
+                    "trained scene)"
+                )
     return state

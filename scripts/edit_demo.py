@@ -170,9 +170,18 @@ def main():
     data = nerf_train.DeviceDataset.from_dataset(tb._dataset)
     tb.refresh_grid_for_edits()
     t0 = time.perf_counter()
+    # scene geometry MUST match the trained config: the default
+    # DistillConfig (aabb_scale=1, cone_angle=0) warps fox's aabb-4
+    # coordinates into the wrong box and the student diverges to NaN
+    # (round-5 first run: distilled_vs_edited_psnr_db=NaN)
+    dcfg = distill_lib.DistillConfig(
+        aabb_scale=tb._train_cfg.aabb_scale,
+        cone_angle=tb._train_cfg.cone_angle,
+    )
     student = distill_lib.distill(
         tb._model, tb._state.inference_params, tuple(tb.edit_operators),
         data, tb._grid, jax.random.PRNGKey(7), n_steps=args.distill_steps,
+        cfg=dcfg,
     )
     distill_s = time.perf_counter() - t0
 
