@@ -336,7 +336,11 @@ def bench_edit_rebake():
         float(np.asarray(vol.fields[0][0, 0, 0, 0]))
         return vol, op, t_lut, time.perf_counter() - t0
 
-    vol, op, _, _ = rebake(vol, op, 0.05)  # warm/compile
+    # two warm drags: the ROI dim bucket grows with the cumulative drag
+    # (96→128 cells here), and each bucket is its own compiled program —
+    # measuring on a fresh bucket times a compile, not a rebake
+    vol, op, _, _ = rebake(vol, op, 0.05)
+    vol, op, _, _ = rebake(vol, op, 0.03)
     _, _, t_lut, t_total = rebake(vol, op, 0.02)  # fresh args: no memoization
     return t_total, t_lut, t_full
 
@@ -473,7 +477,16 @@ def bench_fox():
         H, W = gt.shape[:2]
         t0 = time.perf_counter()
         tb.bake_interactive()
+        jax.block_until_ready(tb._baked.fields[0])
         out["fox_bake_volume_seconds"] = time.perf_counter() - t0
+        # warm re-bake with genuinely-new params (1 train step): the cold
+        # number above is dominated by the first remote compile
+        tb.train(1, 1 << 15)
+        t0 = time.perf_counter()
+        tb.bake_interactive(force_full=True)
+        jax.block_until_ready(tb._baked.fields[0])
+        float(np.asarray(tb._baked.fields[0][0, 0, 0, 0]))
+        out["fox_bake_volume_warm_seconds"] = time.perf_counter() - t0
         img_exact = np.asarray(
             tb.render(W, H, spp=1, linear=False, exact=True,
                       camera_matrix=ds.xforms[i], focal=ds.intrinsics[i].focal,

@@ -942,29 +942,104 @@ class Testbed:
             cam_prev = (
                 np.asarray(prev.camera_pos) if prev.camera_pos is not None else None
             )
+            from nerfshop_tpu.ops import coords as coords_lib
+
+            blo, bhi = self._bake_box_host
             self._baked = baked_lib.update_volume_region(
-                prev, self._model, self._inference_params(), aabb,
+                prev, self._model, self._inference_params(),
+                coords_lib.BoundingBox(blo, bhi),  # prev bake's sample box
                 roi[0], roi[1], operators=new_ops,
                 # keep the PREVIOUS bake's frozen shading direction: a patch
                 # shaded toward a different eye would seam against the rest
                 camera_pos=cam_prev,
                 occupancy=occ,
+                field_aabb=aabb,
             )
         else:
+            bake_box = self._tight_bake_box(aabb, resolution)
+            self._bake_box_host = (
+                np.asarray(bake_box.min, np.float32),
+                np.asarray(bake_box.max, np.float32),
+            )
             self._baked = baked_lib.bake_volume(
                 self._model,
                 self._inference_params(),
-                aabb,
+                bake_box,
                 resolution=resolution,
                 operators=new_ops,
                 camera_pos=np.asarray(self.camera_matrix)[:, 3],
                 occupancy=occ,
+                field_aabb=aabb,
             )
         self._baked_key = self._interactive_key()
         self._baked_ops = new_ops
         self._baked_step = self.stats.step
         self._baked_occ_ref = occ
         self.last_bake_incremental = roi is not None
+
+    def _tight_bake_box(self, aabb, resolution: int):
+        """World box of the OCCUPIED content (union over cascades of the
+        occupancy grid's occupied-cell bbox, + margin), clipped to the train
+        aabb. Baking the whole aabb-4 scene box at 256³ gave the fox ~64³
+        effective cells (measured 5.5 dB baked-vs-exact, BENCH r5 preview);
+        the tight box spends the bake resolution on actual content. Edits +
+        cameras stay world-consistent because the bake carries its own box
+        (field warps use ``field_aabb``)."""
+        from nerfshop_tpu.ops import coords as coords_lib
+
+        if self._grid is None:
+            return aabb
+        occ = self._grid.occupancy
+        C, R = occ.shape[0], occ.shape[1]
+        import jax
+        import jax.numpy as jnp
+
+        fn = getattr(self, "_occ_bounds_fn", None)
+        if fn is None or getattr(self, "_occ_bounds_shape", None) != occ.shape:
+            @jax.jit
+            def _bounds(occ):
+                idx = jnp.arange(R)
+                los, his, anys = [], [], []
+                for c in range(occ.shape[0]):
+                    o = occ[c]
+                    per_axis = (o.any((1, 2)), o.any((0, 2)), o.any((0, 1)))
+                    lo3, hi3 = [], []
+                    for a in per_axis:
+                        lo3.append(jnp.min(jnp.where(a, idx, R)))
+                        hi3.append(jnp.max(jnp.where(a, idx, -1)))
+                    los.append(jnp.stack(lo3))
+                    his.append(jnp.stack(hi3))
+                    anys.append(jnp.any(o))
+                return jnp.stack(los), jnp.stack(his), jnp.stack(anys)
+
+            fn = self._occ_bounds_fn = _bounds
+            self._occ_bounds_shape = occ.shape
+        los, his, anys = (np.asarray(x) for x in fn(occ))
+        lo_w = np.full(3, np.inf, np.float32)
+        hi_w = np.full(3, -np.inf, np.float32)
+        for c in range(C):
+            if not anys[c] or his[c].min() < 0:
+                continue
+            # cascade-local cell [i/R,(i+1)/R) → world p = (q−0.5)·2^c + 0.5
+            # (occupancy axes are [C, x, y, z]; see march._candidate_cells)
+            q_lo = los[c].astype(np.float32) / R
+            q_hi = (his[c].astype(np.float32) + 1.0) / R
+            lo_w = np.minimum(lo_w, (q_lo - 0.5) * (1 << c) + 0.5)
+            hi_w = np.maximum(hi_w, (q_hi - 0.5) * (1 << c) + 0.5)
+        alo = np.asarray(aabb.min, np.float32)
+        ahi = np.asarray(aabb.max, np.float32)
+        if not np.all(np.isfinite(lo_w)) or np.any(hi_w <= lo_w):
+            return aabb
+        # margin of 2 bake cells; keep the box CUBIC (the shear-warp frame
+        # math assumes isotropic cells) and inside the train aabb
+        ext = float((hi_w - lo_w).max())
+        margin = 2.0 * ext / resolution
+        ext = min(ext + 2 * margin, float((ahi - alo).min()))
+        center = (lo_w + hi_w) / 2
+        lo_box = np.clip(center - ext / 2, alo, ahi)
+        hi_box = np.minimum(lo_box + ext, ahi)
+        lo_box = hi_box - ext
+        return coords_lib.BoundingBox(lo_box.astype(np.float32), hi_box.astype(np.float32))
 
     def _incremental_bake_roi(self, resolution: int, new_ops: tuple, occ, aabb):
         """World (lo, hi) ROI if an incremental rebake applies, else None."""
@@ -981,6 +1056,7 @@ class Testbed:
             or prev.canonical is None
             or prev.resolution != resolution
             or getattr(self, "_baked_step", None) != self.stats.step
+            or getattr(self, "_bake_box_host", None) is None
         ):
             return None
         old_ops = getattr(self, "_baked_ops", None)
