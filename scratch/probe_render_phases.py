@@ -29,7 +29,7 @@ grid = grid._replace(
 W, H = 1920, 1080
 xf0 = np.asarray([[1.0, 0, 0, 0.5], [0, 1, 0, 0.5], [0, 0, 1.0, -0.8]], np.float32)
 focal = jnp.asarray([H * 1.2, H * 1.2])
-opts = renderer.RenderOptions(aabb_scale=1, chunk=1 << 15)
+opts = renderer.RenderOptions(aabb_scale=1, chunk=1 << 13)
 
 # warm + free-running fps
 warm = renderer.render_frame_tiled(model, params, grid, (W, H), jnp.asarray(xf0), focal, opts=opts)
