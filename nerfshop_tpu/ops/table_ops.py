@@ -194,21 +194,46 @@ def make_brick_encode(
         """→ feats [L, N, C, F] (corner features per sample per level).
 
         One row-gather per level from the [m, C·F] brick table (derived from
-        the canonical slice by 2^D cheap axis-0 rolls + a minor-dim concat; a
-        128-lane packed variant measured SLOWER on v5e — the interleaving
-        build cost more than the gather saved)."""
+        the canonical slice by 2^D cheap axis-0 rolls + a minor-dim concat).
+
+        Row width is the dominant gather variable on v5e (measured,
+        scratch/probe_gather_landscape.py, [2^19, w] uniform-random rows):
+        w=16 → 52 M rows/s, w=32 → 28 M (!), w=64 → 198 M, w=128 → 121 M.
+        So when w < 64, ``Pk`` consecutive brick rows are packed into one
+        64-lane physical row by a free row-major reshape; the gather fetches
+        row idx//Pk at the fast width and a one-hot einsum selects the
+        (idx % Pk)-th w-lane block in-register. (An earlier 128-lane
+        INTERLEAVED packing lost to its build cost; the reshape packing's
+        build is the same rolls+concat plus a layout-only reshape.)"""
         N = idx.shape[1]
         if feat_dtype != table.dtype:
             # ONE whole-table cast pass; per-level casts measured +30 ms on
             # the full step (XLA re-materialized them per level)
             table = jax.lax.optimization_barrier(table.astype(feat_dtype))
+        pack64 = os.environ.get("NERFSHOP_PACK64", "0") == "1"
+        Pk = 64 // w if (pack64 and w < 64 and 64 % w == 0) else 1
         feats = []
         for l in range(L):
             Tl = _slice(table, l)
             rolls = [Tl if s == 0 else jnp.roll(Tl, -s, axis=0) for s in level_shifts[l]]
             brick = jnp.concatenate(rolls, axis=1)  # [m, C·F]
-            brick = jax.lax.optimization_barrier(brick)
-            feats.append(jnp.take(brick, idx[l], axis=0).reshape(N, C, F))
+            if Pk > 1 and level_sizes[l] % Pk == 0:
+                packed = jax.lax.optimization_barrier(
+                    brick.reshape(level_sizes[l] // Pk, Pk * w)
+                )
+                rows = jnp.take(packed, idx[l] // Pk, axis=0)  # [N, Pk·w]
+                sel = (idx[l] % Pk)[:, None] == jax.lax.broadcasted_iota(
+                    jnp.int32, (1, Pk), 1
+                )
+                f = jnp.einsum(
+                    "npw,np->nw",
+                    rows.reshape(N, Pk, w),
+                    sel.astype(rows.dtype),
+                )
+                feats.append(f.reshape(N, C, F))
+            else:
+                brick = jax.lax.optimization_barrier(brick)
+                feats.append(jnp.take(brick, idx[l], axis=0).reshape(N, C, F))
         return jnp.stack(feats)
 
     def _reference(table, idx, w8, w1):

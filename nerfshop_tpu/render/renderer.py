@@ -68,6 +68,13 @@ class RenderOptions:
     #: (render_frame_tiled) is the TPU-native replacement: skip work at
     #: 8×8-pixel granularity on the host instead of per-sample on device.
     compact_frac: float = 0.0
+    #: eval sub-slab width (tiled path): each field-eval dispatch processes
+    #: ``chunk/ (tile²) · tile² · eval_slab`` samples per sub-slab, and tiles
+    #: bucket by march count at this granularity. 16 puts each sub-slab at
+    #: the measured v5e rate peak (batch 2^17: 14.6 M samples/s vs 13.5 at
+    #: 2^18, probe_field_rate) and lets shallow tiles ship 16/48-slot
+    #: buckets instead of rounding up to 32/64.
+    eval_slab: int = 16
     #: view-aligned slice distance for RenderMode.Slice (m_slice_plane_z)
     slice_z: float = 0.5
     #: membrane seam-correction blend: "target" = the reference's α-ratio
@@ -394,10 +401,13 @@ def _eval_tile_chunk(
     testbed_nerf.cu:2827 — slabs instead of compaction rounds)."""
     aabb = coords.BoundingBox.from_aabb_scale(opts.aabb_scale)
     Tc, P = origins.shape[:2]
-    K_slab = opts.k_samples
+    # sub-slab width: eval_slab (≤ the march slab k_samples) — smaller
+    # sub-slabs ride the faster small-batch gather regime and give the
+    # front-to-back carry finer early-out granularity
+    K_slab = max(1, min(opts.eval_slab or opts.k_samples, t_slots.shape[1]))
     # the caller may pass a TRUNCATED slot budget (phase-3 bucketing:
     # shallow tiles ship only the slots their march produced)
-    n_slabs = max(1, min(max(1, opts.n_windows), -(-t_slots.shape[1] // K_slab)))
+    n_slabs = max(1, -(-t_slots.shape[1] // K_slab))
     K_total = K_slab * n_slabs
 
     R = Tc * P
@@ -590,7 +600,11 @@ def _render_tiles_fused(
 
         # --- phase 3: field eval, ONE program per sample-count bucket (row
         # gathers from the march output + member-ray generation inside)
-        slabs = [opts.k_samples * (w + 1) for w in range(max(1, opts.n_windows))]
+        # bucket granularity = eval_slab (16 by default): a tile whose march
+        # produced n slots evaluates ceil(n/eval_slab) sub-slabs, not the
+        # full 32/64 rounding of the old k_samples-granular buckets
+        es = max(1, min(opts.eval_slab or opts.k_samples, K_total))
+        slabs = [es * (w + 1) for w in range(-(-K_total // es))]
         n_keep = n_all[keep]
         lo = 0
         for bs in slabs:
@@ -899,7 +913,11 @@ def render_frame_tiled(
                 depth_chunks
             )[: len(keep_pad)]
 
-        slabs = [opts.k_samples * (w + 1) for w in range(max(1, opts.n_windows))]
+        # bucket granularity = eval_slab (16 by default): a tile whose march
+        # produced n slots evaluates ceil(n/eval_slab) sub-slabs, not the
+        # full 32/64 rounding of the old k_samples-granular buckets
+        es = max(1, min(opts.eval_slab or opts.k_samples, K_total))
+        slabs = [es * (w + 1) for w in range(-(-K_total // es))]
         n_keep = n_all[keep]
         lo = 0
         for bs in slabs:
