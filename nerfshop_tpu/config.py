@@ -139,6 +139,27 @@ def default_nerf_config() -> ConfigDict:
     )
 
 
+def fast_nerf_config() -> ConfigDict:
+    """TPU-tuned hash-grid config: reference semantics, half the levels.
+
+    The field eval is ~100% hash-table row-gathers on v5e (MLP/SH ride
+    free — scratch/probe_field_rate.py), and the gather cost is per LEVEL:
+    L16 F2 pays 16 row-fetches/sample. Halving the levels (same 2^19
+    table, same per-level-scale law → levels still ladder 16→2048·aabb)
+    doubles field-eval and ~1.65×'s the fox train rate at a measured
+    −0.3 dB on fox (27.30 vs 27.57 dB at 2080 steps, 5-view ¼-res
+    protocol — scratch/probe_fox_f4l8.py). Width/packing/bf16 variants all
+    measured worse (probe_narrow_gather.py: [m,16] brick rows are the
+    gather-optimal form; F=4/F=8 rows gather SLOWER per row).
+
+    Reference parity stays with ``default_nerf_config`` (tcnn base.json
+    L=16); this is the throughput default for bench/serving.
+    """
+    cfg = default_nerf_config()
+    cfg["encoding"]["n_levels"] = 8
+    return cfg
+
+
 def tpu_flagship_nerf_config() -> ConfigDict:
     """The TPU-first flagship NeRF config: a gather-free field.
 
